@@ -1,0 +1,243 @@
+"""Latent-optimization engine — the heart of MMB training.
+
+TPU-native equivalent of reference ``optimize_latents``
+(``simplesif.py:49-162``): the per-utterance embedding table is itself the
+parameter being optimized (plus, when training, the decoder), by SGD/Adam on
+the negative joint log-likelihood, minibatched with per-epoch reshuffling.
+"Inference" for valid/test splits is the same optimization with a frozen
+decoder (``simplesif.py:607-610``).
+
+TPU-first design:
+
+- The whole fit — all epochs, all minibatches — is ONE jitted program:
+  ``lax.scan`` over epochs around ``lax.scan`` over static-shape minibatches.
+  Compile once, reuse for train/valid/test (SURVEY.md §7 "hard parts").
+- Minibatches are a PRNG permutation reshaped to ``(n_batches, B)`` with the
+  tail padded by index 0 + a validity column; padded rows contribute zero
+  loss, zero gradient, and are excluded from batch-norm statistics, exactly
+  reproducing the reference's shrunken final batch.
+- Hyperparameters that the reference bakes into program structure
+  (optimizer kind, norm kind, epoch count, lr, loss weights) are runtime
+  scalars here, so a ``vmap`` over configs shares one compiled program —
+  the basis of the in-process hyperparameter sweep (``mmtpu.sweep``).
+- Concatenated-modality heads are evaluated segment-wise against the base
+  data streams (no ``torch.cat`` per step — see ``mmtpu.models.decoder``).
+
+Data dict convention (all jnp arrays, leading axis N = #utterances):
+    text          (N, L, D)   per-token word vectors (word-likelihood stream)
+    text_weights  (N, L)      per-token SIF weights
+    text_mask     (N, L)      0/1 token mask (reference broadcasts to D;
+                              equivalent)
+    text_gauss    (N, L, Tg)  Gaussian "text" stream (MOSI: == text;
+                              POM/IEMOCAP: aligned embeddings,
+                              simplesif.py:86-91)
+    text_gauss_mask (N, L)
+    audio         (N, L, A)   (+ baked positional channels in parity mode)
+    audio_mask    (N, L, A)
+    visual        (N, L, V)
+    visual_mask   (N, L, V)
+Optional shared positional-table entries (sweep mode — channels NOT baked
+into audio/visual, see ``mmtpu.models.decoder`` docstring):
+    pos_table     (L, P)      sinusoidal table (same for audio and visual)
+    pos_mask      (P,)        0/1 per-config active-channel mask
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+
+from mmtpu.models.decoder import (
+    MMB1_HEADS,
+    MMB2_HEADS,
+    apply_decoder,
+    head_segments,
+)
+from mmtpu.ops.joint import joint_log_prob  # noqa: F401  (re-export convenience)
+from mmtpu.ops.gaussian import gaussian_logpdf_masked
+from mmtpu.ops.wordprob import word_logprob_angular, word_logprob_dot_prod
+
+
+@dataclasses.dataclass(frozen=True)
+class LatentFitSpec:
+    """Static (compile-time) configuration of a latent fit."""
+
+    n_epochs_max: int
+    batch_size: int
+    train_decoder: bool  # reference: `train and not freeze_weights` (simplesif.py:55-56)
+    unimodal: bool  # MMB1 vs MMB2 head set
+    word_metric: str = "angular"  # 'angular' | 'dot_prod' (simplesif.py:506-511)
+    shuffle: bool = True  # train loader shuffles; valid/test don't (simplesif.py:457-459)
+    a: float = 1e-3  # mixture constant (simplesif.py:513)
+    partition_fn: Callable | None = None  # Pallas hook for angular Z_s
+
+
+def _word_logprob(spec: LatentFitSpec, latents, vocab_emb, b):
+    if spec.word_metric == "angular":
+        return word_logprob_angular(
+            latents, vocab_emb, b["text_weights"], b["text"], b["text_mask"],
+            a=spec.a, partition_fn=spec.partition_fn,
+        )
+    if spec.word_metric == "dot_prod":
+        return word_logprob_dot_prod(
+            latents, vocab_emb, b["text_weights"], b["text"], b["text_mask"],
+            a=spec.a,
+        )
+    raise NotImplementedError(spec.word_metric)
+
+
+def _head_log_prob(head: str, mu, sigma, b) -> jax.Array:
+    """Masked Gaussian log-prob of one head, summed over its segments.
+
+    Equivalent to the reference's Gaussian over torch.cat'ed data/masks
+    (simplesif.py:93-113 + losses.py:251-256), since a diagonal Gaussian over
+    a concatenation is the sum of diagonal Gaussians over the parts.
+    """
+    total = 0.0
+    ofs = 0
+    for seg in head_segments(head):
+        if seg == "text":
+            parts = [(b["text_gauss"], b["text_gauss_mask"])]
+        elif seg == "audio":
+            parts = [(b["audio"], b["audio_mask"])]
+            if "pos_table" in b:
+                parts.append((b["pos_table"], b["pos_mask"]))
+        else:  # visual
+            parts = [(b["visual"], b["visual_mask"])]
+            if "pos_table" in b:
+                parts.append((b["pos_table"], b["pos_mask"]))
+        for values, mask in parts:
+            f = values.shape[-1]
+            total = total + gaussian_logpdf_masked(
+                mu[:, ofs : ofs + f], sigma[:, ofs : ofs + f], values, mask
+            )
+            ofs += f
+    return total
+
+
+def batch_neg_log_prob(
+    embed_batch: jax.Array,
+    decoder_params,
+    b: Mapping[str, jax.Array],
+    vocab_emb: jax.Array,
+    hp: Mapping[str, jax.Array],
+    spec: LatentFitSpec,
+    row_valid: jax.Array | None = None,
+) -> jax.Array:
+    """Mean negative joint log-likelihood of one minibatch.
+
+    Matches reference ``simplesif.py:129-133``; ``row_valid`` excludes padded
+    rows from the mean (and from batch-norm statistics).
+    """
+    out = apply_decoder(
+        decoder_params, embed_batch, hp["norm_code"], batch_weights=row_valid
+    )
+    word_lp = _word_logprob(spec, embed_batch, vocab_emb, b)
+    heads = MMB1_HEADS if spec.unimodal else MMB2_HEADS
+    head_lp = [
+        _head_log_prob(h, out[h]["mu"], out[h]["sigma"], b) for h in heads
+    ]
+    gauss_total = sum(head_lp)
+    w = hp["word_loss_weight"]
+    other = (1.0 - w) / len(head_lp)
+    total_lp = gauss_total * other + w * word_lp  # losses.py:267-270
+    neg = -total_lp
+    if row_valid is None:
+        return jnp.mean(neg)
+    return jnp.sum(neg * row_valid) / jnp.maximum(jnp.sum(row_valid), 1.0)
+
+
+def _gather_batch(data: Mapping[str, jax.Array], j: jax.Array) -> dict:
+    """Index the per-utterance arrays; pass shared tables through."""
+    shared = ("pos_table", "pos_mask")
+    return {k: (v if k in shared else v[j]) for k, v in data.items()}
+
+
+def fit_latents(
+    rng: jax.Array,
+    init_embed: jax.Array,
+    decoder_params,
+    data: Mapping[str, jax.Array],
+    vocab_emb: jax.Array,
+    hp: Mapping[str, jax.Array],
+    spec: LatentFitSpec,
+):
+    """Run the full latent fit.  Returns ``(embed, decoder_params, losses)``.
+
+    ``losses`` is ``(n_epochs_max,)`` — per-epoch sums of batch means, the
+    reference's accumulation (``simplesif.py:139-141``); entries at epochs
+    ``>= hp["n_epochs"]`` are frozen at the last active value.
+
+    hp keys (scalars; may carry a leading config axis under vmap):
+        lr, word_loss_weight  — float
+        opt_code              — OPT_SGD | OPT_ADAM
+        norm_code             — NORM_NONE | NORM_LAYER | NORM_BATCH
+        n_epochs              — int, actual epoch count (<= spec.n_epochs_max)
+    """
+    from mmtpu.train.optim import init_opt_state, opt_update
+
+    n = init_embed.shape[0]
+    bsz = spec.batch_size
+    n_batches = -(-n // bsz)
+    pad = n_batches * bsz - n
+
+    embed = jnp.asarray(init_embed, jnp.float32)
+    embed_opt = init_opt_state(embed)
+    dec_opt = init_opt_state(decoder_params) if spec.train_decoder else None
+
+    valid_flat = jnp.concatenate(
+        [jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+    )
+
+    def epoch_body(carry, epoch_idx):
+        embed, dec, e_opt, d_opt, key = carry
+        key, sub = jax.random.split(key)
+        if spec.shuffle:
+            perm = jax.random.permutation(sub, n)
+        else:
+            perm = jnp.arange(n)
+        idx = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
+        idx = idx.reshape(n_batches, bsz)
+        valid = valid_flat.reshape(n_batches, bsz)
+        active = epoch_idx < hp["n_epochs"]
+
+        def batch_body(bcarry, xs):
+            embed, dec, e_opt, d_opt = bcarry
+            j, row_valid = xs
+            b = _gather_batch(data, j)
+
+            def loss_fn(embed_all, dec_params):
+                return batch_neg_log_prob(
+                    embed_all[j], dec_params, b, vocab_emb, hp, spec, row_valid
+                )
+
+            if spec.train_decoder:
+                loss, (g_embed, g_dec) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+                    embed, dec
+                )
+                dec2, d_opt2 = opt_update(
+                    dec, g_dec, d_opt, hp["lr"], hp["opt_code"], active
+                )
+            else:
+                loss, g_embed = jax.value_and_grad(loss_fn)(embed, dec)
+                dec2, d_opt2 = dec, d_opt
+            embed2, e_opt2 = opt_update(
+                embed, g_embed, e_opt, hp["lr"], hp["opt_code"], active
+            )
+            return (embed2, dec2, e_opt2, d_opt2), loss
+
+        (embed, dec, e_opt, d_opt), batch_losses = jax.lax.scan(
+            batch_body, (embed, dec, e_opt, d_opt), (idx, valid)
+        )
+        epoch_loss = jnp.sum(batch_losses)
+        return (embed, dec, e_opt, d_opt, key), epoch_loss
+
+    (embed, dec, _, _, _), losses = jax.lax.scan(
+        epoch_body,
+        (embed, decoder_params, embed_opt, dec_opt, rng),
+        jnp.arange(spec.n_epochs_max),
+    )
+    return embed, dec, losses

@@ -1,0 +1,292 @@
+"""End-to-end parity: mmtpu.train.fit_latents vs a direct torch
+transliteration of the reference training loop (simplesif.py:49-162 +
+losses.py:216-274 + models.py:107-202) on tiny synthetic data.
+
+Shuffling is disabled and parameters are copied torch→jax so trajectories are
+deterministic and comparable step-for-step.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from mmtpu.models.decoder import MMB2_HEADS, NORM_CODES, head_dims
+from mmtpu.train.latents import LatentFitSpec, fit_latents
+from mmtpu.train.optim import OPT_CODES
+
+
+def _make_tiny(rng, n=13, L=5, V=25, D=8, A=4, Vis=3):
+    vocab = rng.standard_normal((V, D)).astype(np.float32)
+    ids = rng.integers(1, V, size=(n, L))
+    ids[rng.random((n, L)) < 0.2] = 0  # padding id
+    vw = (rng.random(V) * 0.9 + 0.05).astype(np.float32)
+    audio = rng.standard_normal((n, L, A)).astype(np.float32)
+    visual = rng.standard_normal((n, L, Vis)).astype(np.float32)
+    audio_mask = (rng.random((n, L, A)) < 0.85).astype(np.float32)
+    visual_mask = (rng.random((n, L, Vis)) < 0.85).astype(np.float32)
+    token_mask = (ids != 0).astype(np.float32)
+    init_embed = rng.standard_normal((n, D)).astype(np.float32)
+    return dict(
+        vocab=vocab, ids=ids, vw=vw, audio=audio, visual=visual,
+        audio_mask=audio_mask, visual_mask=visual_mask,
+        token_mask=token_mask, init_embed=init_embed,
+    )
+
+
+class TorchRefMMB(torch.nn.Module):
+    """Faithful-by-construction torch model with externally set weights."""
+
+    def __init__(self, heads, D, dims):
+        super().__init__()
+        self.mods = torch.nn.ModuleDict()
+        for h in heads:
+            f = dims[h]
+            self.mods[h] = torch.nn.ModuleDict({
+                "mu": torch.nn.Linear(D, f),
+                "log_sigma": torch.nn.Linear(D, f),
+            })
+
+    def forward(self, x):
+        return {
+            h: {"mu": m["mu"](x), "sigma": m["log_sigma"](x).exp()}
+            for h, m in self.mods.items()
+        }
+
+
+def _torch_word_logprob(latents, vocab, ww, se, mask2d, a=1e-3):
+    coss = torch.nn.CosineSimilarity(dim=-1)
+    cos = coss(latents.unsqueeze(1), vocab.unsqueeze(0))
+    z = (1.0 - cos.acos() / np.pi).sum(-1, keepdim=True)
+    alpha = 1.0 / (z * a + 1.0)
+    unigram = alpha * ww
+    score = 1.0 - (coss(se, latents.unsqueeze(1)).acos() / np.pi)
+    context = (1.0 - alpha) * score / z
+    return (torch.log(unigram + context) * mask2d).sum(dim=-1)
+
+
+def _torch_gauss(mu, sigma, values, mask):
+    sig_sq = sigma.unsqueeze(1).pow(2)
+    term1 = torch.log(1.0 / torch.sqrt(2.0 * np.pi * sig_sq))
+    term2 = (values - mu.unsqueeze(1)).pow(2) / (2.0 * sig_sq)
+    return ((term1 - term2) * mask).sum(-1).sum(-1)
+
+
+def _run_torch_reference(d, unimodal, n_epochs, lr, batch_size, word_weight,
+                         optimizer_kind, torch_model, init_embed):
+    """Transliteration of optimize_latents (simplesif.py:49-162), train=True,
+    no shuffle, MOSI-style data (text_gauss == text)."""
+    n = d["ids"].shape[0]
+    vocab = torch.tensor(d["vocab"])
+    se_all = vocab[torch.tensor(d["ids"], dtype=torch.long)]
+    ww_all = torch.tensor(d["vw"])[torch.tensor(d["ids"], dtype=torch.long)]
+    tok_m = torch.tensor(d["token_mask"])
+    audio = torch.tensor(d["audio"])
+    visual = torch.tensor(d["visual"])
+    am = torch.tensor(d["audio_mask"])
+    vm = torch.tensor(d["visual_mask"])
+
+    embeddings = torch.tensor(init_embed.copy())
+    embeddings.requires_grad = True
+    params = [embeddings] + list(torch_model.parameters())
+    if optimizer_kind == "adam":
+        opt = torch.optim.Adam(params, lr=lr)
+    else:
+        opt = torch.optim.SGD(params, lr=lr)
+
+    heads = ["audio", "visual"] if unimodal else list(MMB2_HEADS)
+    epoch_losses = []
+    for _ in range(n_epochs):
+        epoch_loss = 0.0
+        for s in range(0, n, batch_size):
+            j = torch.arange(s, min(s + batch_size, n))
+            opt.zero_grad()
+            out = torch_model(embeddings[j])
+            text = se_all[j]
+            data = {
+                "audio": audio[j], "visual": visual[j],
+                "audiovisual": torch.cat([audio[j], visual[j]], -1),
+                "textaudio": torch.cat([text, audio[j]], -1),
+                "textvisual": torch.cat([text, visual[j]], -1),
+                "textaudiovisual": torch.cat([text, audio[j], visual[j]], -1),
+            }
+            tm3 = tok_m[j].unsqueeze(-1).expand_as(text)
+            masks = {
+                "audio": am[j], "visual": vm[j],
+                "audiovisual": torch.cat([am[j], vm[j]], -1),
+                "textaudio": torch.cat([tm3, am[j]], -1),
+                "textvisual": torch.cat([tm3, vm[j]], -1),
+                "textaudiovisual": torch.cat([tm3, am[j], vm[j]], -1),
+            }
+            word_lp = _torch_word_logprob(
+                embeddings[j], vocab, ww_all[j], se_all[j], tok_m[j]
+            )
+            lps = [
+                _torch_gauss(out[h]["mu"], out[h]["sigma"], data[h], masks[h])
+                for h in heads
+            ]
+            other = (1.0 - word_weight) / len(lps)
+            total = sum(lps) * other + word_weight * word_lp
+            loss = (-total).mean()
+            loss.backward()
+            opt.step()
+            epoch_loss += float(loss)
+        epoch_losses.append(epoch_loss)
+    return embeddings.detach().numpy(), epoch_losses
+
+
+@pytest.mark.parametrize("optimizer_kind", ["sgd", "adam"])
+def test_fit_latents_matches_torch_reference(rng, optimizer_kind):
+    d = _make_tiny(rng)
+    n, D = d["init_embed"].shape
+    A, Vis = d["audio"].shape[-1], d["visual"].shape[-1]
+    n_epochs, lr, bsz, wlw = 3, 1e-2 if optimizer_kind == "sgd" else 1e-2, 5, 0.002
+
+    dims = {h: head_dims(h, D, A, Vis) for h in MMB2_HEADS}
+    tm = TorchRefMMB(MMB2_HEADS, D, dims)
+
+    # copy torch params → jax pytree ((in, out) layout).  NB jnp.array, not
+    # asarray: on the CPU backend asarray zero-copies contiguous numpy views
+    # of torch storage, which torch's in-place training would then mutate.
+    heads_jax = {}
+    for h in MMB2_HEADS:
+        heads_jax[h] = {
+            "w_mu": jnp.array(tm.mods[h]["mu"].weight.detach().numpy().T),
+            "b_mu": jnp.array(tm.mods[h]["mu"].bias.detach().numpy()),
+            "w_log_sigma": jnp.array(
+                tm.mods[h]["log_sigma"].weight.detach().numpy().T
+            ),
+            "b_log_sigma": jnp.array(
+                tm.mods[h]["log_sigma"].bias.detach().numpy()
+            ),
+        }
+    dec_params = {
+        "heads": heads_jax,
+        "norm": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
+    }
+
+    want_embed, want_losses = _run_torch_reference(
+        d, False, n_epochs, lr, bsz, wlw, optimizer_kind, tm, d["init_embed"]
+    )
+
+    ids = jnp.asarray(d["ids"])
+    vocab = jnp.asarray(d["vocab"])
+    text = vocab[ids]
+    data = {
+        "text": text,
+        "text_weights": jnp.asarray(d["vw"])[ids],
+        "text_mask": jnp.asarray(d["token_mask"]),
+        "text_gauss": text,
+        "text_gauss_mask": jnp.asarray(d["token_mask"]),
+        "audio": jnp.asarray(d["audio"]),
+        "audio_mask": jnp.asarray(d["audio_mask"]),
+        "visual": jnp.asarray(d["visual"]),
+        "visual_mask": jnp.asarray(d["visual_mask"]),
+    }
+    hp = {
+        "lr": jnp.float32(lr),
+        "word_loss_weight": jnp.float32(wlw),
+        "opt_code": jnp.int32(OPT_CODES[optimizer_kind]),
+        "norm_code": jnp.int32(NORM_CODES[None]),
+        "n_epochs": jnp.int32(n_epochs),
+    }
+    spec = LatentFitSpec(
+        n_epochs_max=n_epochs, batch_size=bsz, train_decoder=True,
+        unimodal=False, shuffle=False,
+    )
+    got_embed, _, got_losses = jax.jit(
+        lambda r, e, p: fit_latents(r, e, p, data, vocab, hp, spec)
+    )(jax.random.key(0), jnp.asarray(d["init_embed"]), dec_params)
+
+    np.testing.assert_allclose(
+        np.asarray(got_losses), np.asarray(want_losses), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_embed), want_embed, rtol=0, atol=2e-4
+    )
+
+
+def test_fit_latents_norms_run(rng):
+    """layer_norm / batch_norm paths compile and decrease the loss."""
+    d = _make_tiny(rng)
+    ids = jnp.asarray(d["ids"])
+    vocab = jnp.asarray(d["vocab"])
+    text = vocab[ids]
+    data = {
+        "text": text,
+        "text_weights": jnp.asarray(d["vw"])[ids],
+        "text_mask": jnp.asarray(d["token_mask"]),
+        "text_gauss": text,
+        "text_gauss_mask": jnp.asarray(d["token_mask"]),
+        "audio": jnp.asarray(d["audio"]),
+        "audio_mask": jnp.asarray(d["audio_mask"]),
+        "visual": jnp.asarray(d["visual"]),
+        "visual_mask": jnp.asarray(d["visual_mask"]),
+    }
+    from mmtpu.models.decoder import init_decoder
+
+    dec = init_decoder(jax.random.key(1), 8, 4, 3, unimodal=True)
+    for norm in ("layer_norm", "batch_norm"):
+        hp = {
+            "lr": jnp.float32(1e-3),
+            "word_loss_weight": jnp.float32(0.002),
+            "opt_code": jnp.int32(OPT_CODES["adam"]),
+            "norm_code": jnp.int32(NORM_CODES[norm]),
+            "n_epochs": jnp.int32(4),
+        }
+        spec = LatentFitSpec(
+            n_epochs_max=4, batch_size=5, train_decoder=True, unimodal=True
+        )
+        _, _, losses = fit_latents(
+            jax.random.key(2), jnp.asarray(d["init_embed"]), dec, data, vocab,
+            hp, spec,
+        )
+        losses = np.asarray(losses)
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+
+def test_epoch_masking_freezes_state(rng):
+    """Configs with n_epochs < n_epochs_max must stop updating exactly there."""
+    d = _make_tiny(rng)
+    ids = jnp.asarray(d["ids"])
+    vocab = jnp.asarray(d["vocab"])
+    text = vocab[ids]
+    data = {
+        "text": text,
+        "text_weights": jnp.asarray(d["vw"])[ids],
+        "text_mask": jnp.asarray(d["token_mask"]),
+        "text_gauss": text,
+        "text_gauss_mask": jnp.asarray(d["token_mask"]),
+        "audio": jnp.asarray(d["audio"]),
+        "audio_mask": jnp.asarray(d["audio_mask"]),
+        "visual": jnp.asarray(d["visual"]),
+        "visual_mask": jnp.asarray(d["visual_mask"]),
+    }
+    from mmtpu.models.decoder import init_decoder
+
+    dec = init_decoder(jax.random.key(1), 8, 4, 3, unimodal=False)
+
+    def run(n_epochs, n_epochs_max):
+        hp = {
+            "lr": jnp.float32(1e-2),
+            "word_loss_weight": jnp.float32(0.002),
+            "opt_code": jnp.int32(OPT_CODES["sgd"]),
+            "norm_code": jnp.int32(0),
+            "n_epochs": jnp.int32(n_epochs),
+        }
+        spec = LatentFitSpec(
+            n_epochs_max=n_epochs_max, batch_size=5, train_decoder=True,
+            unimodal=False, shuffle=False,
+        )
+        e, p, _ = fit_latents(
+            jax.random.key(2), jnp.asarray(d["init_embed"]), dec, data, vocab,
+            hp, spec,
+        )
+        return np.asarray(e), p
+
+    e_exact, _ = run(2, 2)
+    e_masked, _ = run(2, 5)
+    np.testing.assert_allclose(e_masked, e_exact, rtol=0, atol=1e-6)
