@@ -1,0 +1,151 @@
+"""End-to-end (e2e) training: joint likelihood + supervised L1 objective.
+
+TPU-native equivalent of the reference's e2e branch (``simplesif.py:625-912``,
+the shipped sweep default ``e2e=True`` at ``make_configs.py:29``): one
+optimizer over {train embeddings, decoder, sentiment MLP} minimizing
+
+    likelihood_weight * (-log p) + (1 - likelihood_weight) * L1(sentiment)
+
+per sample (``simplesif.py:786``), with optional semi-supervised masking that
+zeroes the sentiment term for unlabeled indices (``simplesif.py:779-784`` —
+note the reference divides by the full batch size, not the labeled count;
+reproduced).  Valid/test latents are still fit likelihood-only via
+:func:`mmtpu.train.latents.fit_latents` (``simplesif.py:803-806``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mmtpu.models.sentiment import apply_sentiment
+from mmtpu.train.latents import LatentFitSpec, batch_neg_log_prob, _gather_batch
+from mmtpu.train.optim import init_opt_state, opt_update
+
+
+@dataclasses.dataclass(frozen=True)
+class E2EFitSpec:
+    n_epochs_max: int
+    batch_size: int  # the multimodal loader's batch (cfg.batch_size, simplesif.py:457)
+    unimodal: bool
+    word_metric: str = "angular"
+    shuffle: bool = True
+    a: float = 1e-3
+    partition_fn: object = None
+
+    def latent_spec(self) -> LatentFitSpec:
+        return LatentFitSpec(
+            n_epochs_max=self.n_epochs_max,
+            batch_size=self.batch_size,
+            train_decoder=True,
+            unimodal=self.unimodal,
+            word_metric=self.word_metric,
+            shuffle=self.shuffle,
+            a=self.a,
+            partition_fn=self.partition_fn,
+        )
+
+
+def fit_e2e(
+    rng: jax.Array,
+    init_embed: jax.Array,
+    decoder_params,
+    senti_params,
+    data: Mapping[str, jax.Array],
+    labels: jax.Array,
+    vocab_emb: jax.Array,
+    hp: Mapping[str, jax.Array],
+    spec: E2EFitSpec,
+    senti_mask: Optional[jax.Array] = None,
+):
+    """Joint fit.  Returns ``(embed, decoder_params, senti_params, losses)``.
+
+    hp keys: as :func:`fit_latents` plus ``likelihood_weight``.
+    ``senti_mask`` is the per-utterance 0/1 labeled mask (semi-supervised);
+    None = fully supervised.
+    """
+    lspec = spec.latent_spec()
+    n = init_embed.shape[0]
+    bsz = spec.batch_size
+    n_batches = -(-n // bsz)
+    pad = n_batches * bsz - n
+
+    embed = jnp.asarray(init_embed, jnp.float32)
+    e_opt = init_opt_state(embed)
+    d_opt = init_opt_state(decoder_params)
+    s_opt = init_opt_state(senti_params)
+
+    valid_flat = jnp.concatenate(
+        [jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+    )
+
+    def epoch_body(carry, epoch_idx):
+        embed, dec, sen, e_opt, d_opt, s_opt, key = carry
+        key, sub = jax.random.split(key)
+        perm = jax.random.permutation(sub, n) if spec.shuffle else jnp.arange(n)
+        idx = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
+        idx = idx.reshape(n_batches, bsz)
+        valid = valid_flat.reshape(n_batches, bsz)
+        active = epoch_idx < hp["n_epochs"]
+
+        def batch_body(bcarry, xs):
+            embed, dec, sen, e_opt, d_opt, s_opt = bcarry
+            j, row_valid = xs
+            b = _gather_batch(data, j)
+            y = labels[j]
+
+            def loss_fn(embed_all, dec_p, sen_p):
+                lat = embed_all[j]
+                # per-sample -log p (reuse the latent-fit loss but per-sample):
+                # batch_neg_log_prob reduces; recompute per-sample pieces here.
+                from mmtpu.models.decoder import apply_decoder
+                from mmtpu.train.latents import _head_log_prob, _word_logprob
+                from mmtpu.models.decoder import MMB1_HEADS, MMB2_HEADS
+
+                out = apply_decoder(dec_p, lat, hp["norm_code"], row_valid)
+                word_lp = _word_logprob(lspec, lat, vocab_emb, b)
+                heads = MMB1_HEADS if spec.unimodal else MMB2_HEADS
+                head_lp = [
+                    _head_log_prob(h2, out[h2]["mu"], out[h2]["sigma"], b)
+                    for h2 in heads
+                ]
+                w = hp["word_loss_weight"]
+                other = (1.0 - w) / len(head_lp)
+                log_prob = -(sum(head_lp) * other + w * word_lp)  # (B,)
+
+                pred = apply_sentiment(sen_p, lat)
+                err = jnp.abs(pred - y)
+                if senti_mask is not None:
+                    # zero unlabeled samples BEFORE the mean (simplesif.py:779-784)
+                    m = senti_mask[j]
+                    err = err * (m if err.ndim == m.ndim else m[..., None])
+                if err.ndim > 1:
+                    err = jnp.mean(err, axis=tuple(range(1, err.ndim)))
+                lw = hp["likelihood_weight"]
+                loss = lw * log_prob + (1.0 - lw) * err  # (B,)  simplesif.py:786
+                return jnp.sum(loss * row_valid) / jnp.maximum(
+                    jnp.sum(row_valid), 1.0
+                )
+
+            loss, (ge, gd, gs) = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+                embed, dec, sen
+            )
+            embed2, e_opt2 = opt_update(embed, ge, e_opt, hp["lr"], hp["opt_code"], active)
+            dec2, d_opt2 = opt_update(dec, gd, d_opt, hp["lr"], hp["opt_code"], active)
+            sen2, s_opt2 = opt_update(sen, gs, s_opt, hp["lr"], hp["opt_code"], active)
+            return (embed2, dec2, sen2, e_opt2, d_opt2, s_opt2), loss
+
+        (embed, dec, sen, e_opt, d_opt, s_opt), batch_losses = jax.lax.scan(
+            batch_body, (embed, dec, sen, e_opt, d_opt, s_opt), (idx, valid)
+        )
+        return (embed, dec, sen, e_opt, d_opt, s_opt, key), jnp.sum(batch_losses)
+
+    (embed, dec, sen, _, _, _, _), losses = jax.lax.scan(
+        epoch_body,
+        (embed, decoder_params, senti_params, e_opt, d_opt, s_opt, rng),
+        jnp.arange(spec.n_epochs_max),
+    )
+    return embed, dec, sen, losses

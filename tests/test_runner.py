@@ -1,0 +1,109 @@
+"""End-to-end runner + CLI smoke tests on tiny synthetic data (CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mmtpu.config import ExperimentConfig
+from mmtpu.data.pipeline import prepare_device_data
+from mmtpu.data.synthetic import synthesize_dataset
+from mmtpu.runner import run_experiment
+
+
+def _tiny_prep(name="mosi", pos=2, **kw):
+    ds = synthesize_dataset(
+        name, n_train=30, n_valid=10, n_test=12, vocab_size=60,
+        embed_dim=16, audio_dim=6, visual_dim=5,
+    )
+    return prepare_device_data(ds, pos_embed_dim=pos, pos_mode="baked", **kw)
+
+
+@pytest.mark.parametrize("e2e", [False, True])
+def test_run_experiment_mosi(tmp_path, e2e):
+    cfg = ExperimentConfig(
+        dataset="mosi", n_epochs=3, n_sentiment_epochs=6, batch_size=8,
+        e2e=e2e, norm="layer_norm", optimizer="adam", lr=1e-3,
+        sentiment_lr=1e-2, config_name="smoke", config_num=0,
+    )
+    prep = _tiny_prep()
+    res = run_experiment(
+        cfg, out_root=str(tmp_path), prep=prep, verbose=False, time_test=True
+    )
+    assert np.isfinite(res["final_train_loss"])
+    assert "mae" in res["sentiment"]["after"]
+    assert res["closed_form"]["n_utterances"] == 12
+    # artifact contract
+    folder = tmp_path / "smoke" / "config_0_run_0"
+    for f in ("config.json", "embed_loss.txt", "embed_valid_loss.txt",
+              "embed_test_loss.txt"):
+        assert (folder / f).exists()
+    for f in ("embed.npy",):
+        assert (folder / "pre" / f).exists()
+        assert (folder / "post" / f).exists()
+    for f in ("test_acc_before.txt", "acc_after.txt",
+              "test_results_after.json", "senti.npz"):
+        assert (folder / "post" / f).exists()
+    post = np.load(folder / "post" / "embed.npy")
+    assert post.shape == (30 + 10 + 12, 16)
+    results = json.load(open(folder / "post" / "test_results_after.json"))
+    assert set(results) >= {"mae", "accuracy", "corr", "mult_acc", "f_score"}
+
+
+def test_run_experiment_pom(tmp_path):
+    cfg = ExperimentConfig(
+        dataset="pom", n_epochs=2, n_sentiment_epochs=4, batch_size=8,
+        e2e=False, optimizer="sgd", lr=1e-4, config_name="smokepom",
+    )
+    prep = _tiny_prep("pom")
+    res = run_experiment(cfg, out_root=str(tmp_path), prep=prep, verbose=False)
+    after = res["sentiment"]["after"]
+    assert len(after["mae"]) == 17  # per-trait lists
+
+
+def test_run_experiment_unimodal_semi_sup(tmp_path):
+    cfg = ExperimentConfig(
+        dataset="mosi", n_epochs=2, n_sentiment_epochs=4, batch_size=8,
+        e2e=False, unimodal=True, semi_sup_idxes="0.5", config_name="smokeuni",
+    )
+    prep = _tiny_prep()
+    res = run_experiment(cfg, out_root=str(tmp_path), prep=prep, verbose=False)
+    assert np.isfinite(res["final_train_loss"])
+
+
+def test_cli_main(tmp_path, monkeypatch):
+    """Full CLI path with reference-format config JSON + synthetic fallback."""
+    from mmtpu import run as cli
+
+    cfg_path = tmp_path / "config_5.json"
+    json.dump(
+        {
+            "sentiment_hidden_size": 10, "lr": 1e-3, "sentiment_lr": 1e-2,
+            "seq_len": 20, "word_sim_metric": "angular", "n_epochs": 1,
+            "freeze_weights": False, "n_sentiment_epochs": 2,
+            "word_loss_weight": 0.001, "likelihood_weight": 0.0001,
+            "pos_embed_dim": 2, "e2e": True, "norm": "layer_norm",
+            "optimizer": "sgd", "config_num": 5,
+        },
+        open(cfg_path, "w"),
+    )
+    # shrink the synthetic fallback so the CLI smoke test stays fast
+    import mmtpu.data.registry as reg
+
+    orig = reg.synthesize_dataset
+    monkeypatch.setattr(
+        reg, "synthesize_dataset",
+        lambda name, seed=0: orig(
+            name, n_train=24, n_valid=8, n_test=10, vocab_size=50,
+            embed_dim=12, audio_dim=5, visual_dim=4, seed=seed,
+        ),
+    )
+    rc = cli.main([
+        str(cfg_path), "mosi", "--data_dir", str(tmp_path / "nodata"),
+        "--out_root", str(tmp_path / "saves"), "--config_name", "cli_smoke",
+        "--batch_size", "8",
+    ])
+    assert rc == 0
+    assert (tmp_path / "saves" / "cli_smoke" / "config_5_run_0" / "post"
+            / "test_results_after.json").exists()
