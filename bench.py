@@ -1,0 +1,134 @@
+"""mmtpu benchmark — prints ONE JSON line for the driver.
+
+Workload: the reference's hot path (SURVEY.md §3.1 hot loop #1) at real MOSI
+scale on synthetic data — MMB2 latent+decoder training (`fit_latents`,
+train_decoder=True, layer_norm, SGD, batch 64, angular word metric, 1284
+train utterances, vocab 3016×300, audio 74 / visual 47 features, seq 20).
+
+Metric: utterances/sec/chip, steady state (post-compile).
+Baseline: the reference implementation driven unmodified on CPU measures
+19.7 utt/s on the identical workload (BASELINE.md) — the torch reference has
+no TPU path, so CPU is its best available number in this environment.
+
+Env knobs: MMTPU_BENCH_EPOCHS (default 5), MMTPU_BENCH_SWEEP=1 additionally
+reports an in-process multi-config sweep rate to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_CPU_UTT_PER_S = 19.7  # BASELINE.md, measured 2026-08-16
+
+
+def main() -> None:
+    import jax
+
+    # persistent compilation cache: the driver invokes bench.py in a fresh
+    # process each round; caching makes the warm-up near-instant after the
+    # first ever run on a given software version.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/mmtpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from mmtpu.data.pipeline import prepare_device_data
+    from mmtpu.data.synthetic import synthesize_dataset
+    from mmtpu.models.decoder import NORM_CODES, init_decoder
+    from mmtpu.train.latents import LatentFitSpec, fit_latents
+    from mmtpu.train.optim import OPT_CODES
+
+    n_epochs = int(os.environ.get("MMTPU_BENCH_EPOCHS", "100"))
+    n_train = 1284
+
+    ds = synthesize_dataset(
+        "mosi", n_train=n_train, n_valid=8, n_test=8,
+        vocab_size=3016, embed_dim=300, audio_dim=74, visual_dim=47,
+    )
+    prep = prepare_device_data(ds, pos_embed_dim=0)
+    data = {k: jnp.asarray(v) for k, v in prep.splits["train"].items()}
+    vocab = jnp.asarray(prep.vocab_embeddings)
+    init_embed = jnp.asarray(prep.sif_init["train"])
+
+    dec = init_decoder(
+        jax.random.key(0), prep.embed_dim, prep.audio_dim, prep.visual_dim,
+        unimodal=False,
+    )
+    hp = {
+        "lr": jnp.float32(1e-4),  # grid value; keeps the trajectory finite at MOSI scale
+        "word_loss_weight": jnp.float32(0.001),
+        "opt_code": jnp.int32(OPT_CODES["sgd"]),
+        "norm_code": jnp.int32(NORM_CODES["layer_norm"]),
+        "n_epochs": jnp.int32(n_epochs),
+    }
+    spec = LatentFitSpec(
+        n_epochs_max=n_epochs, batch_size=64, train_decoder=True,
+        unimodal=False, word_metric="angular",
+    )
+    fit = jax.jit(fit_latents, static_argnums=(6,))
+
+    # compile + warm run (np.asarray forces full materialization — on the
+    # axon backend block_until_ready alone returns before execution finishes)
+    t0 = time.time()
+    out = fit(jax.random.key(1), init_embed, dec, data, vocab, hp, spec)
+    np.asarray(out[0])
+    warm = time.time() - t0
+    # steady state
+    t0 = time.time()
+    out = fit(jax.random.key(2), init_embed, dec, data, vocab, hp, spec)
+    embed_out = np.asarray(out[0])
+    losses = np.asarray(out[2])
+    dt = time.time() - t0
+    utt_per_s = n_train * n_epochs / dt
+    assert np.isfinite(losses).all(), "bench trajectory went non-finite"
+    assert np.isfinite(embed_out).all()
+
+    print(
+        f"[bench] backend={jax.default_backend()} warm={warm:.2f}s "
+        f"steady={dt:.3f}s for {n_epochs} epochs "
+        f"({utt_per_s:.0f} utt/s; reference CPU {REFERENCE_CPU_UTT_PER_S})",
+        file=sys.stderr,
+    )
+
+    if os.environ.get("MMTPU_BENCH_SWEEP") == "1":
+        _sweep_rate(prep, file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "utterances/sec/chip (MMB2 train)",
+        "value": round(utt_per_s, 1),
+        "unit": "utterances/sec",
+        "vs_baseline": round(utt_per_s / REFERENCE_CPU_UTT_PER_S, 2),
+    }))
+
+
+def _sweep_rate(prep, file=sys.stderr) -> None:
+    """Optional: full-pipeline in-process sweep rate (configs/hour)."""
+    import time as _t
+
+    from mmtpu.config import make_grid
+    from mmtpu.data.pipeline import prepare_device_data
+    from mmtpu.data.synthetic import synthesize_dataset
+    from mmtpu.sweep import run_sweep
+
+    ds = synthesize_dataset(
+        "mosi", n_train=1284, n_valid=229, n_test=686,
+        vocab_size=3016, embed_dim=300, audio_dim=74, visual_dim=47,
+    )
+    prep = prepare_device_data(ds, pos_embed_dim=4, pos_mode="shared", pos_max_dim=4)
+    cfgs = make_grid()[:16]
+    res = run_sweep(cfgs, prep, batch_size=64, chunk_size=16, verbose=False)
+    rate = res.n_configs / res.wall_time_s * 3600
+    print(
+        f"[bench] sweep: {res.n_configs} configs in {res.wall_time_s:.1f}s "
+        f"(compile {res.compile_time_s:.1f}s) → {rate:.0f} configs/hour",
+        file=file,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Packing heterogeneous configs into shape-uniform arrays for one vmap.
+
+The grid's axes (``configs/make_configs.py:16-32``) differ in ways the
+reference bakes into program *structure*; mmtpu turns each into data:
+
+| axis                  | values        | mechanism                          |
+|-----------------------|---------------|------------------------------------|
+| lr, sentiment_lr      | floats        | per-config scalar arrays           |
+| word/likelihood weight| floats        | per-config scalar arrays           |
+| optimizer             | sgd/adam      | branchless opt_code                |
+| norm                  | layer/batch   | branchless norm_code               |
+| n_epochs              | 100/200       | run max, mask late updates         |
+| pos_embed_dim         | 2/4           | shared (L, P_max) table + per-     |
+|                       |               | config channel mask (extra chans   |
+|                       |               | masked → zero loss, zero grads)    |
+| sentiment_hidden_size | 100/150       | zero-padded dead hidden units      |
+
+Every mechanism is *exactly* equivalent to running the config standalone
+(see mmtpu.models.sentiment / mmtpu.train.optim docstrings for the dead-unit
+and stale-momentum arguments; tests/test_sweep.py checks equivalence).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from mmtpu.models.decoder import NORM_CODES
+from mmtpu.train.optim import OPT_CODES
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepStatics:
+    """Compile-time maxima/flags shared by every config in a sweep chunk."""
+
+    n_epochs_max: int
+    n_sentiment_epochs_max: int
+    pos_max: int
+    hidden_max: int
+    batch_size: int = 64
+    unimodal: bool = False
+    word_metric: str = "angular"
+    e2e: bool = True
+    early_stopping: bool = False
+
+
+def statics_from_configs(
+    configs: Sequence[dict],
+    batch_size: int = 64,
+    unimodal: bool = False,
+) -> SweepStatics:
+    def vals(key, default=None):
+        return [c.get(key, default) for c in configs]
+
+    e2e_vals = {bool(v in (True, "y")) for v in vals("e2e", True)}
+    metric_vals = set(vals("word_sim_metric", "angular"))
+    if len(e2e_vals) > 1 or len(metric_vals) > 1:
+        raise ValueError(
+            "configs mixing e2e modes or word metrics must be bucketed into "
+            f"separate sweeps (got e2e={e2e_vals}, metric={metric_vals})"
+        )
+    return SweepStatics(
+        n_epochs_max=max(vals("n_epochs", 100)),
+        n_sentiment_epochs_max=max(vals("n_sentiment_epochs", 400)),
+        pos_max=max(vals("pos_embed_dim", 0)),
+        hidden_max=max(vals("sentiment_hidden_size", 100)),
+        batch_size=batch_size,
+        unimodal=unimodal,
+        word_metric=metric_vals.pop(),
+        e2e=e2e_vals.pop(),
+    )
+
+
+def pack_configs(configs: Sequence[dict], statics: SweepStatics) -> Dict[str, np.ndarray]:
+    """Per-config hyperparameter arrays, leading axis K = len(configs)."""
+    k = len(configs)
+
+    def arr(key, default, dtype=np.float32):
+        return np.asarray([c.get(key, default) for c in configs], dtype)
+
+    pos_dims = arr("pos_embed_dim", 0, np.int32)
+    pos_mask = (
+        np.arange(statics.pos_max)[None, :] < pos_dims[:, None]
+    ).astype(np.float32)
+
+    return {
+        "lr": arr("lr", 1e-3),
+        "sentiment_lr": arr("sentiment_lr", 1e-1),
+        "lr_decay": arr("lr_decay", 0.5),
+        "word_loss_weight": arr("word_loss_weight", 0.001),
+        "likelihood_weight": arr("likelihood_weight", 0.0001),
+        "opt_code": np.asarray(
+            [OPT_CODES[c.get("optimizer", "sgd")] for c in configs], np.int32
+        ),
+        "norm_code": np.asarray(
+            [NORM_CODES[c.get("norm")] for c in configs], np.int32
+        ),
+        "n_epochs": arr("n_epochs", 100, np.int32),
+        "n_sentiment_epochs": arr("n_sentiment_epochs", 400, np.int32),
+        "hidden_dims": arr("sentiment_hidden_size", 100, np.int32),
+        "pos_mask": pos_mask,
+        "config_num": arr("config_num", 0, np.int32),
+    }

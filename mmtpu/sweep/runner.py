@@ -1,0 +1,320 @@
+"""The vmapped, mesh-sharded sweep executor.
+
+ONE jitted program trains K configs simultaneously: latent fit (e2e or
+likelihood-only), valid/test latent inference, sentiment training, and
+device-side metrics — all under a leading config axis, sharded over the
+"config" mesh axis (pure data parallel over ICI, no cross-config traffic).
+
+Wall-clock model: the reference runs 512 serial processes, each re-loading
+data and re-tracing the same math; mmtpu compiles once per chunk shape and
+reuses the executable for every chunk (``chunk_size`` bounds HBM).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmtpu.data.pipeline import PreparedData
+from mmtpu.eval.metrics import iemocap_metrics, mosi_metrics, pom_metrics
+from mmtpu.models.decoder import init_decoder
+from mmtpu.models.sentiment import apply_sentiment, init_sentiment
+from mmtpu.sweep.pack import SweepStatics, pack_configs, statics_from_configs
+from mmtpu.train.e2e import E2EFitSpec, fit_e2e
+from mmtpu.train.latents import LatentFitSpec, fit_latents
+from mmtpu.train.sentiment import SentimentFitSpec, fit_sentiment
+
+
+@dataclasses.dataclass
+class SweepResult:
+    """Per-config arrays (leading axis = config), ordered as the input list."""
+
+    config_nums: np.ndarray
+    final_train_loss: np.ndarray
+    metrics: Dict[str, np.ndarray]  # per-config "after" test metrics
+    wall_time_s: float
+    n_configs: int
+    compile_time_s: float = 0.0
+
+    def to_records(self) -> List[dict]:
+        out = []
+        for i in range(self.n_configs):
+            rec = {
+                "config_num": int(self.config_nums[i]),
+                "final_train_loss": float(self.final_train_loss[i]),
+            }
+            for k, v in self.metrics.items():
+                val = np.asarray(v[i])
+                rec[k] = val.tolist() if val.ndim else float(val)
+            out.append(rec)
+        return out
+
+
+def _data_axes(data: Dict) -> Dict:
+    """vmap in_axes for the shared data dict: everything broadcast except the
+    per-config positional channel mask."""
+    return {k: (0 if k == "pos_mask" else None) for k in data}
+
+
+def _stacked_sentiment_init(keys, embed_dim, hidden_dims, n_out, hidden_max):
+    """Per-config sentiment MLPs with zero-padded dead units, stacked."""
+    params = [
+        init_sentiment(k, embed_dim, int(h), n_out, hidden_pad=hidden_max)
+        for k, h in zip(keys, hidden_dims)
+    ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *params)
+
+
+def build_sweep_fn(statics: SweepStatics, labels, vocab, dataset_name: str,
+                   return_embeddings: bool = False):
+    """Construct the single jitted sweep program for one chunk shape."""
+    lspec = LatentFitSpec(
+        n_epochs_max=statics.n_epochs_max,
+        batch_size=statics.batch_size,
+        train_decoder=True,
+        unimodal=statics.unimodal,
+        word_metric=statics.word_metric,
+    )
+    espec = E2EFitSpec(
+        n_epochs_max=statics.n_epochs_max,
+        batch_size=statics.batch_size,
+        unimodal=statics.unimodal,
+        word_metric=statics.word_metric,
+    )
+    ispec = LatentFitSpec(
+        n_epochs_max=statics.n_epochs_max,
+        batch_size=statics.batch_size * 8,
+        train_decoder=False,
+        unimodal=statics.unimodal,
+        word_metric=statics.word_metric,
+        shuffle=False,
+    )
+    sspec = SentimentFitSpec(
+        n_epochs_max=statics.n_sentiment_epochs_max,
+        early_stopping=statics.early_stopping,
+    )
+    if dataset_name == "mosi":
+        metric_fn = mosi_metrics
+    elif dataset_name == "pom":
+        metric_fn = pom_metrics
+    else:
+        metric_fn = iemocap_metrics
+
+    def one_train(rng, init_embed, dec, senti, hp, dtr):
+        if statics.e2e:
+            embed, dec2, senti2, losses = fit_e2e(
+                rng, init_embed, dec, senti, dtr, labels["train"], vocab, hp,
+                espec, None,
+            )
+        else:
+            embed, dec2, losses = fit_latents(
+                rng, init_embed, dec, dtr, vocab, hp, lspec
+            )
+        return embed, dec2, losses
+
+    def sweep(rngs, init_embeds, dec_stack, senti_stack, hp, s_hp,
+              data_train, data_valid, data_test):
+        dax = _data_axes(data_train)
+        # --- phase 1: train latents (+decoder, + sentiment head if e2e) ---
+        embeds, decs, losses = jax.vmap(
+            one_train, in_axes=(0, None, 0, 0, 0, dax)
+        )(rngs, init_embeds["train"], dec_stack, senti_stack, hp, data_train)
+
+        # --- phase 2: inference = optimization on valid/test (frozen dec) ---
+        def infer(rng, init_e, dec, hp, d):
+            e, _, _ = fit_latents(rng, init_e, dec, d, vocab, hp, ispec)
+            return e
+
+        valid_e = jax.vmap(infer, in_axes=(0, None, 0, 0, dax))(
+            rngs, init_embeds["valid"], decs, hp, data_valid
+        )
+        test_e = jax.vmap(infer, in_axes=(0, None, 0, 0, dax))(
+            rngs, init_embeds["test"], decs, hp, data_test
+        )
+
+        # --- phase 3: downstream sentiment training ---
+        def sent(rng, senti, tr_e, va_e, shp):
+            last, _, _, _ = fit_sentiment(
+                rng, senti, tr_e, labels["train"], va_e, labels["valid"],
+                shp, sspec,
+            )
+            return last
+
+        senti_final = jax.vmap(sent, in_axes=(0, 0, 0, 0, 0))(
+            rngs, senti_stack, embeds, valid_e, s_hp
+        )
+
+        # --- phase 4: device-side metrics on test ---
+        def score(senti, te):
+            pred = apply_sentiment(senti, te)
+            return metric_fn(pred, labels["test"])
+
+        metrics = jax.vmap(score)(senti_final, test_e)
+        epoch_idx = jnp.clip(hp["n_epochs"] - 1, 0, statics.n_epochs_max - 1)
+        final_loss = jax.vmap(lambda l, i: l[i])(losses, epoch_idx)
+        out = {"metrics": metrics, "final_train_loss": final_loss}
+        if return_embeddings:
+            out["embeddings"] = {"train": embeds, "valid": valid_e, "test": test_e}
+        return out
+
+    return jax.jit(sweep)
+
+
+def run_sweep(
+    configs: Sequence[dict],
+    prep: PreparedData,
+    batch_size: int = 64,
+    unimodal: bool = False,
+    seed: int = 0,
+    chunk_size: Optional[int] = None,
+    mesh=None,
+    return_embeddings: bool = False,
+    verbose: bool = True,
+) -> SweepResult:
+    """Run every config of the grid in vmapped chunks.
+
+    Args:
+        configs: list of config dicts (reference JSON format).
+        prep: :func:`prepare_device_data` output in ``pos_mode="shared"`` with
+            ``pos_max_dim >= max(pos_embed_dim)`` (or no positional dims).
+        chunk_size: configs per compiled program (bounds HBM); default = all.
+        mesh: optional ``jax.sharding.Mesh`` with a "config" axis — stacked
+            per-config state is sharded across it, shared data replicated.
+    """
+    statics = statics_from_configs(configs, batch_size=batch_size, unimodal=unimodal)
+    if statics.pos_max > 0 and prep.pos_table is None:
+        raise ValueError(
+            "sweep needs prepare_device_data(..., pos_mode='shared', "
+            f"pos_max_dim>={statics.pos_max})"
+        )
+    if prep.pos_table is not None and prep.pos_table.shape[-1] < statics.pos_max:
+        raise ValueError("prep.pos_table narrower than the widest config")
+
+    k_total = len(configs)
+    chunk = chunk_size or k_total
+    n_chunks = -(-k_total // chunk)
+
+    # device placement (shared tensors once, replicated under a mesh)
+    from mmtpu.parallel.mesh import config_sharding, replicated
+
+    def shard_cfg(tree):
+        if mesh is None:
+            return tree
+        s = config_sharding(mesh)
+        return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+    def shard_rep(tree):
+        if mesh is None:
+            return jax.tree.map(jnp.asarray, tree)
+        s = replicated(mesh)
+        return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), s), tree)
+
+    data = {s: shard_rep(dict(prep.splits[s])) for s in ("train", "valid", "test")}
+    labels = shard_rep({s: prep.labels[s] for s in ("train", "valid", "test")})
+    vocab = shard_rep(jnp.asarray(prep.vocab_embeddings))
+    init_embeds = shard_rep({s: prep.sif_init[s] for s in ("train", "valid", "test")})
+
+    # positional channel count follows the prepared table's width (the
+    # decoder sees every table channel; per-config masks switch them off)
+    p_tab = 0 if prep.pos_table is None else int(prep.pos_table.shape[-1])
+    audio_dim = prep.audio_dim + p_tab
+    visual_dim = prep.visual_dim + p_tab
+    n_out = 1 if prep.labels["train"].ndim == 1 else prep.labels["train"].shape[-1]
+
+    sweep_fn = None
+    # per-config keys derive from fold_in(config_num) so results are
+    # independent of chunking layout and config order
+    root = jax.random.key(seed)
+    dec_root, sent_root, run_root = jax.random.split(root, 3)
+    results_loss = np.zeros(k_total, np.float32)
+    metrics_acc: Dict[str, list] = {}
+    t0 = time.time()
+    compile_time = 0.0
+
+    for ci in range(n_chunks):
+        lo, hi = ci * chunk, min((ci + 1) * chunk, k_total)
+        chunk_cfgs = list(configs[lo:hi])
+        pad_n = chunk - len(chunk_cfgs)
+        chunk_cfgs = chunk_cfgs + [configs[lo]] * pad_n  # shape-stable padding
+
+        hp_np = pack_configs(chunk_cfgs, statics)
+        cfg_nums = jnp.asarray(hp_np["config_num"])
+        dec_keys = jax.vmap(lambda c: jax.random.fold_in(dec_root, c))(cfg_nums)
+        dec_stack = jax.vmap(
+            lambda k: init_decoder(
+                k, prep.embed_dim, audio_dim, visual_dim,
+                unimodal=statics.unimodal, text_dim=prep.text_gauss_dim,
+            )
+        )(dec_keys)
+        sent_keys = jax.vmap(lambda c: jax.random.fold_in(sent_root, c))(cfg_nums)
+        senti_stack = _stacked_sentiment_init(
+            sent_keys, prep.embed_dim, hp_np["hidden_dims"], n_out,
+            statics.hidden_max,
+        )
+        rngs = jax.vmap(lambda c: jax.random.fold_in(run_root, c))(cfg_nums)
+
+        hp = shard_cfg({
+            "lr": jnp.asarray(hp_np["lr"]),
+            "word_loss_weight": jnp.asarray(hp_np["word_loss_weight"]),
+            "likelihood_weight": jnp.asarray(hp_np["likelihood_weight"]),
+            "opt_code": jnp.asarray(hp_np["opt_code"]),
+            "norm_code": jnp.asarray(hp_np["norm_code"]),
+            "n_epochs": jnp.asarray(hp_np["n_epochs"]),
+        })
+        s_hp = shard_cfg({
+            "lr": jnp.asarray(hp_np["sentiment_lr"]),
+            "lr_decay": jnp.asarray(hp_np["lr_decay"]),
+            "n_epochs": jnp.asarray(hp_np["n_sentiment_epochs"]),
+        })
+        dec_stack = shard_cfg(dec_stack)
+        senti_stack = shard_cfg(senti_stack)
+        rngs = shard_cfg(rngs)
+
+        # per-config positional channel mask rides in the data dict
+        dtr = dict(data["train"])
+        dva = dict(data["valid"])
+        dte = dict(data["test"])
+        if prep.pos_table is not None:
+            pm_np = hp_np["pos_mask"]
+            if pm_np.shape[-1] < p_tab:  # pad to the table width
+                pm_np = np.pad(pm_np, ((0, 0), (0, p_tab - pm_np.shape[-1])))
+            pm = shard_cfg(jnp.asarray(pm_np))
+            dtr["pos_mask"] = dva["pos_mask"] = dte["pos_mask"] = pm
+
+        if sweep_fn is None:
+            sweep_fn = build_sweep_fn(
+                statics, labels, vocab, prep.name,
+                return_embeddings=return_embeddings,
+            )
+            tc = time.time()
+            out = sweep_fn(rngs, init_embeds, dec_stack, senti_stack, hp, s_hp,
+                           dtr, dva, dte)
+            jax.block_until_ready(out["final_train_loss"])
+            compile_time = time.time() - tc
+        else:
+            out = sweep_fn(rngs, init_embeds, dec_stack, senti_stack, hp, s_hp,
+                           dtr, dva, dte)
+            jax.block_until_ready(out["final_train_loss"])
+
+        n_real = hi - lo
+        results_loss[lo:hi] = np.asarray(out["final_train_loss"])[:n_real]
+        for mk, mv in out["metrics"].items():
+            metrics_acc.setdefault(mk, []).append(np.asarray(mv)[:n_real])
+        if verbose:
+            print(f"[sweep] chunk {ci + 1}/{n_chunks} done "
+                  f"({hi}/{k_total} configs, {time.time() - t0:.1f}s)")
+
+    metrics = {k: np.concatenate(v, axis=0) for k, v in metrics_acc.items()}
+    return SweepResult(
+        config_nums=np.asarray([c.get("config_num", i) for i, c in enumerate(configs)]),
+        final_train_loss=results_loss,
+        metrics=metrics,
+        wall_time_s=time.time() - t0,
+        n_configs=k_total,
+        compile_time_s=compile_time,
+    )
