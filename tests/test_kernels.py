@@ -1,0 +1,55 @@
+"""Pallas kernel tests (interpret mode on the CPU backend)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mmtpu.kernels.angular import angular_partition_pallas
+from mmtpu.ops.wordprob import angular_partition, word_logprob_angular
+
+
+class TestAngularKernel:
+    def test_forward_matches_xla(self, rng):
+        lat = jnp.asarray(rng.standard_normal((16, 36)).astype(np.float32))
+        vocab = jnp.asarray(rng.standard_normal((100, 36)).astype(np.float32))
+        got = angular_partition_pallas(lat, vocab, 32)
+        want = angular_partition(lat, vocab)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+    def test_backward_matches_xla(self, rng):
+        lat = jnp.asarray(rng.standard_normal((8, 20)).astype(np.float32))
+        vocab = jnp.asarray(rng.standard_normal((50, 20)).astype(np.float32))
+        gk = jax.grad(lambda l: angular_partition_pallas(l, vocab, 16).sum())(lat)
+        gx = jax.grad(lambda l: angular_partition(l, vocab).sum())(lat)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gx), atol=1e-5)
+
+    def test_nonuniform_cotangent(self, rng):
+        lat = jnp.asarray(rng.standard_normal((6, 12)).astype(np.float32))
+        vocab = jnp.asarray(rng.standard_normal((40, 12)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((6, 1)).astype(np.float32))
+        gk = jax.grad(lambda l: (angular_partition_pallas(l, vocab, 16) * w).sum())(lat)
+        gx = jax.grad(lambda l: (angular_partition(l, vocab) * w).sum())(lat)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gx), atol=1e-5)
+
+    def test_vmap(self, rng):
+        lat = jnp.asarray(rng.standard_normal((3, 8, 12)).astype(np.float32))
+        vocab = jnp.asarray(rng.standard_normal((40, 12)).astype(np.float32))
+        got = jax.vmap(lambda l: angular_partition_pallas(l, vocab, 16))(lat)
+        want = jax.vmap(lambda l: angular_partition(l, vocab))(lat)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+    def test_as_partition_hook(self, rng):
+        """Plumbs through word_logprob_angular's partition_fn hook."""
+        lat = jnp.asarray(rng.standard_normal((5, 12)).astype(np.float32))
+        vocab = jnp.asarray(rng.standard_normal((30, 12)).astype(np.float32))
+        ids = rng.integers(0, 30, size=(5, 7))
+        ww = jnp.asarray(rng.random((5, 7)).astype(np.float32))
+        se = vocab[jnp.asarray(ids)]
+        mask = jnp.ones((5, 7))
+        got = word_logprob_angular(
+            lat, vocab, ww, se, mask,
+            partition_fn=lambda l, v: angular_partition_pallas(l, v, 16),
+        )
+        want = word_logprob_angular(lat, vocab, ww, se, mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4)
