@@ -31,8 +31,9 @@ def main() -> None:
     # process each round; caching makes the warm-up near-instant after the
     # first ever run on a given software version.
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/mmtpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        from mmtpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
+        
     except Exception:
         pass
     import jax.numpy as jnp

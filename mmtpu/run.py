@@ -56,7 +56,14 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--data_dir", default=".")
     parser.add_argument("--out_root", default="model_saves")
     parser.add_argument("--parity", action="store_true",
-                        help="reproduce reference quirks (pos-embed bug)")
+                        help="reproduce reference quirks (pos-embed bug) and "
+                             "force float32 matmul precision")
+    parser.add_argument("--validation_curve", action="store_true",
+                        help="reference-style recursive validation every 80 "
+                             "epochs during training (expensive)")
+    parser.add_argument("--precision", choices=["default", "highest"],
+                        help="matmul precision (TPU default truncates inputs "
+                             "to bf16; 'highest' keeps float32)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no_artifacts", action="store_true")
     return parser.parse_args(argv)
@@ -64,6 +71,10 @@ def parse_args(argv=None) -> argparse.Namespace:
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+
+    from mmtpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     overrides = dict(
         dataset=args.dataset,
         unimodal=args.unimodal or None,
@@ -83,6 +94,12 @@ def main(argv=None) -> int:
         parity=args.parity or None,
         seed=args.seed,
     )
+    precision = args.precision or ("highest" if args.parity else None)
+    if precision:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", precision)
+
     cfg = ExperimentConfig.from_json(args.config_file, **overrides)
     print("######################################")
     print(f"Config: {cfg.config_num}")
@@ -102,6 +119,7 @@ def main(argv=None) -> int:
             run_idx=r,
             save_artifacts=not args.no_artifacts,
             time_test=args.time_test,
+            validation_curve=args.validation_curve,
         )
         all_results.append(res)
         print(f"run {r}: train_time={res['train_time_s']:.2f}s "

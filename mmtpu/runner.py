@@ -153,9 +153,15 @@ def run_experiment(
     run_idx: int = 0,
     save_artifacts: bool = True,
     time_test: bool = False,
+    validation_curve: bool = False,
     verbose: bool = True,
 ) -> Dict:
-    """Run one full experiment for one config.  Returns a results dict."""
+    """Run one full experiment for one config.  Returns a results dict.
+
+    ``validation_curve=True`` reproduces the reference's recursive
+    validation-during-training (a full frozen-decoder refit of the valid
+    split every 80 epochs — simplesif.py:146-159); expensive, off by default.
+    """
     if prep is None:
         prep = prepare(cfg, data_dir)
 
@@ -188,6 +194,7 @@ def run_experiment(
 
     t_train_start = time.time()
     semi_mask = load_semi_sup_mask(cfg, prep.labels["train"].shape[0], data_dir)
+    valid_curve = None
 
     if cfg.e2e:
         n_out = 1 if prep.labels["train"].ndim == 1 else prep.labels["train"].shape[-1]
@@ -219,16 +226,30 @@ def run_experiment(
             train_decoder=not cfg.freeze_weights,
             unimodal=cfg.unimodal,
             word_metric=cfg.word_sim_metric,
+            valid_every=80 if validation_curve else 0,  # valid_niter*8
         )
-        train_embed, decoder, train_losses = _fit_latents(
-            k_fit,
-            jnp.asarray(prep.sif_init["train"]),
-            decoder,
-            prep.splits["train"],
-            vocab,
-            hp,
-            spec,
-        )
+        valid_curve = None
+        if validation_curve:
+            train_embed, decoder, train_losses, valid_curve = _fit_latents(
+                k_fit,
+                jnp.asarray(prep.sif_init["train"]),
+                decoder,
+                prep.splits["train"],
+                vocab,
+                hp,
+                spec,
+                (jnp.asarray(prep.sif_init["valid"]), prep.splits["valid"]),
+            )
+        else:
+            train_embed, decoder, train_losses = _fit_latents(
+                k_fit,
+                jnp.asarray(prep.sif_init["train"]),
+                decoder,
+                prep.splits["train"],
+                vocab,
+                hp,
+                spec,
+            )
 
     # inference = optimization with frozen decoder (simplesif.py:607-610);
     # valid/test loaders are unshuffled at batch_size*8 (simplesif.py:458-459)
@@ -253,7 +274,11 @@ def run_experiment(
 
     if store is not None:
         store.save_losses("embed_loss", np.asarray(train_losses))
-        store.save_losses("embed_valid_loss", np.asarray(valid_losses))
+        if not cfg.e2e and validation_curve and valid_curve is not None:
+            vc = np.asarray(valid_curve)
+            store.save_losses("embed_valid_loss", vc[np.isfinite(vc)])
+        else:
+            store.save_losses("embed_valid_loss", np.asarray(valid_losses))
         store.save_losses("embed_test_loss", np.asarray(test_losses))
         store.save_embeddings(
             "post",

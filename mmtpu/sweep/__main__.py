@@ -1,0 +1,132 @@
+"""Sweep CLI — run the hyperparameter grid in-process on the device mesh.
+
+Replaces the reference's 512 serial ``simplesif.py`` invocations
+(``README.md:13-24``) with one command::
+
+    python -m mmtpu.sweep mosi                      # full 512-config grid
+    python -m mmtpu.sweep mosi --configs_dir configs/multimodal_search
+    python -m mmtpu.sweep mosi --limit 100 --chunk_size 64
+    python -m mmtpu.sweep mosi --resume_dir sweep_ckpt   # crash-resumable
+
+Writes ``results/<name>.csv`` (compatible with scripts/make_result_table.py
+output) and a JSON summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import glob
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="mmtpu.sweep", description=__doc__)
+    parser.add_argument("dataset", choices=["mosi", "pom", "iemocap"])
+    parser.add_argument("--configs_dir",
+                        help="directory of config_<i>.json files; default: "
+                             "generate the reference grid in memory")
+    parser.add_argument("--limit", type=int, help="run only the first N configs")
+    parser.add_argument("--chunk_size", type=int,
+                        help="configs per compiled program (bounds HBM)")
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--unimodal", action="store_true")
+    parser.add_argument("--emotion", choices=["happy", "angry", "neutral", "sad"])
+    parser.add_argument("--data_dir", default=".")
+    parser.add_argument("--name", default="sweep")
+    parser.add_argument("--out", default="results")
+    parser.add_argument("--resume_dir", help="chunk checkpoint dir (resume here)")
+    parser.add_argument("--mesh", action="store_true",
+                        help="shard the config axis across all devices")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    from mmtpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from mmtpu.config import make_grid
+    from mmtpu.data.pipeline import prepare_device_data
+    from mmtpu.data.registry import load_dataset
+    from mmtpu.sweep import run_sweep
+
+    if args.configs_dir:
+        configs = []
+        for path in sorted(glob.glob(os.path.join(args.configs_dir, "config_*.json"))):
+            configs.append(json.load(open(path)))
+        configs.sort(key=lambda c: c.get("config_num", 0))
+    else:
+        configs = make_grid()
+    if args.limit:
+        configs = configs[: args.limit]
+    if not configs:
+        print("no configs found", file=sys.stderr)
+        return 1
+
+    pos_max = max(c.get("pos_embed_dim", 0) for c in configs)
+    t0 = time.time()
+    ds = load_dataset(args.dataset, data_dir=args.data_dir, emotion=args.emotion)
+    if ds.get("synthetic"):
+        print("[mmtpu] real data blobs not found — using synthetic stand-ins")
+    prep = prepare_device_data(
+        ds,
+        pos_embed_dim=pos_max,
+        pos_mode="shared" if pos_max > 0 else "baked",
+        pos_max_dim=pos_max or None,
+    )
+    print(f"[sweep] {len(configs)} configs on {args.dataset} "
+          f"(prep {time.time() - t0:.1f}s)")
+
+    mesh = None
+    if args.mesh:
+        from mmtpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        print(f"[sweep] mesh over {mesh.devices.size} devices")
+
+    res = run_sweep(
+        configs, prep,
+        batch_size=args.batch_size,
+        unimodal=args.unimodal,
+        seed=args.seed,
+        chunk_size=args.chunk_size,
+        mesh=mesh,
+        checkpoint_dir=args.resume_dir,
+    )
+
+    os.makedirs(args.out, exist_ok=True)
+    records = res.to_records()
+    # flatten per-trait lists (POM) for the CSV
+    for rec, cfg in zip(records, configs):
+        for k in ("lr", "sentiment_lr", "n_epochs", "optimizer", "norm",
+                  "pos_embed_dim", "sentiment_hidden_size", "word_loss_weight",
+                  "likelihood_weight"):
+            if k in cfg:
+                rec[k] = cfg[k]
+    csv_path = os.path.join(args.out, f"{args.name}.csv")
+    keys = sorted({k for r in records for k in r}, key=str)
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=keys)
+        w.writeheader()
+        for r in records:
+            w.writerow({k: (json.dumps(v) if isinstance(v, list) else v)
+                        for k, v in r.items()})
+    summary = {
+        "n_configs": res.n_configs,
+        "wall_time_s": round(res.wall_time_s, 2),
+        "compile_time_s": round(res.compile_time_s, 2),
+        "configs_per_hour": round(res.n_configs / res.wall_time_s * 3600, 1),
+        "dataset": args.dataset,
+    }
+    json.dump(summary, open(os.path.join(args.out, f"{args.name}_summary.json"), "w"),
+              indent=2)
+    print(f"[sweep] done: {summary}")
+    print(f"[sweep] wrote {csv_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

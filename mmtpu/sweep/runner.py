@@ -175,6 +175,7 @@ def run_sweep(
     mesh=None,
     return_embeddings: bool = False,
     verbose: bool = True,
+    checkpoint_dir: Optional[str] = None,
 ) -> SweepResult:
     """Run every config of the grid in vmapped chunks.
 
@@ -185,6 +186,9 @@ def run_sweep(
         chunk_size: configs per compiled program (bounds HBM); default = all.
         mesh: optional ``jax.sharding.Mesh`` with a "config" axis — stacked
             per-config state is sharded across it, shared data replicated.
+        checkpoint_dir: if set, per-chunk results are persisted there and a
+            restarted sweep resumes at the first incomplete chunk (the
+            reference has no resume of any kind — SURVEY.md §5).
     """
     statics = statics_from_configs(configs, batch_size=batch_size, unimodal=unimodal)
     if statics.pos_max > 0 and prep.pos_table is None:
@@ -236,8 +240,38 @@ def run_sweep(
     t0 = time.time()
     compile_time = 0.0
 
+    # ---- chunk-level checkpoint / resume ----
+    import json as _json
+    import os as _os
+
+    done_chunks: Dict[int, dict] = {}
+    state_path = None
+    if checkpoint_dir is not None:
+        _os.makedirs(checkpoint_dir, exist_ok=True)
+        state_path = _os.path.join(checkpoint_dir, "sweep_state.json")
+        if _os.path.isfile(state_path):
+            st = _json.load(open(state_path))
+            if st.get("n_configs") == k_total and st.get("chunk") == chunk:
+                for ci_str in st.get("chunks", []):
+                    npz = np.load(
+                        _os.path.join(checkpoint_dir, f"chunk_{ci_str}.npz")
+                    )
+                    done_chunks[int(ci_str)] = {k: npz[k] for k in npz.files}
+                if verbose and done_chunks:
+                    print(f"[sweep] resuming: {len(done_chunks)}/{n_chunks} "
+                          f"chunks already complete")
+
     for ci in range(n_chunks):
         lo, hi = ci * chunk, min((ci + 1) * chunk, k_total)
+        if ci in done_chunks:
+            saved = done_chunks[ci]
+            n_real = hi - lo
+            results_loss[lo:hi] = saved["final_train_loss"][:n_real]
+            for mk in saved:
+                if mk == "final_train_loss":
+                    continue
+                metrics_acc.setdefault(mk, []).append(saved[mk][:n_real])
+            continue
         chunk_cfgs = list(configs[lo:hi])
         pad_n = chunk - len(chunk_cfgs)
         chunk_cfgs = chunk_cfgs + [configs[lo]] * pad_n  # shape-stable padding
@@ -302,9 +336,26 @@ def run_sweep(
             jax.block_until_ready(out["final_train_loss"])
 
         n_real = hi - lo
-        results_loss[lo:hi] = np.asarray(out["final_train_loss"])[:n_real]
-        for mk, mv in out["metrics"].items():
-            metrics_acc.setdefault(mk, []).append(np.asarray(mv)[:n_real])
+        chunk_loss = np.asarray(out["final_train_loss"])
+        results_loss[lo:hi] = chunk_loss[:n_real]
+        chunk_metrics = {mk: np.asarray(mv) for mk, mv in out["metrics"].items()}
+        for mk, mv in chunk_metrics.items():
+            metrics_acc.setdefault(mk, []).append(mv[:n_real])
+        if state_path is not None:
+            np.savez(
+                _os.path.join(checkpoint_dir, f"chunk_{ci}.npz"),
+                final_train_loss=chunk_loss,
+                **chunk_metrics,
+            )
+            done_list = sorted({*(int(c) for c in done_chunks), ci})
+            done_chunks[ci] = {}  # mark complete (data already merged)
+            tmp = state_path + ".tmp"
+            _json.dump(
+                {"n_configs": k_total, "chunk": chunk,
+                 "chunks": [str(c) for c in done_list]},
+                open(tmp, "w"),
+            )
+            _os.replace(tmp, state_path)
         if verbose:
             print(f"[sweep] chunk {ci + 1}/{n_chunks} done "
                   f"({hi}/{k_total} configs, {time.time() - t0:.1f}s)")

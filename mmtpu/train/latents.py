@@ -73,6 +73,12 @@ class LatentFitSpec:
     shuffle: bool = True  # train loader shuffles; valid/test don't (simplesif.py:457-459)
     a: float = 1e-3  # mixture constant (simplesif.py:513)
     partition_fn: Callable | None = None  # Pallas hook for angular Z_s
+    # "validation" = a full inner optimization of the valid split's latents
+    # with a frozen decoder, every valid_every epochs + once at the end
+    # (simplesif.py:146-159; the reference's cadence is valid_niter*8 = 80).
+    # 0 disables intermediate validation.
+    valid_every: int = 0
+    valid_batch_mult: int = 8  # valid loader batch = 8x train (simplesif.py:458)
 
 
 def _word_logprob(spec: LatentFitSpec, latents, vocab_emb, b):
@@ -164,8 +170,16 @@ def fit_latents(
     vocab_emb: jax.Array,
     hp: Mapping[str, jax.Array],
     spec: LatentFitSpec,
+    validation=None,
 ):
-    """Run the full latent fit.  Returns ``(embed, decoder_params, losses)``.
+    """Run the full latent fit.
+
+    Returns ``(embed, decoder_params, losses)`` — or, when ``validation`` is
+    given and ``spec.valid_every > 0``,
+    ``(embed, decoder_params, losses, valid_losses)`` where ``valid_losses``
+    holds the inner-fit final loss sampled at the validation cadence (entries
+    between samples repeat the last value; one final validation is appended
+    semantics-wise by sampling at the last epoch).
 
     ``losses`` is ``(n_epochs_max,)`` — per-epoch sums of batch means, the
     reference's accumulation (``simplesif.py:139-141``); entries at epochs
@@ -176,8 +190,24 @@ def fit_latents(
         opt_code              — OPT_SGD | OPT_ADAM
         norm_code             — NORM_NONE | NORM_LAYER | NORM_BATCH
         n_epochs              — int, actual epoch count (<= spec.n_epochs_max)
+
+    Args:
+        validation: optional ``(valid_init_embed, valid_data)`` — the valid
+            split, refit from its SIF init with the CURRENT (frozen) decoder
+            at each validation point, exactly the reference's recursive
+            ``optimize_latents`` validation (``simplesif.py:146-159``).
     """
     from mmtpu.train.optim import init_opt_state, opt_update
+
+    inner_spec = None
+    if validation is not None and spec.valid_every > 0:
+        inner_spec = dataclasses.replace(
+            spec,
+            train_decoder=False,
+            shuffle=False,
+            batch_size=spec.batch_size * spec.valid_batch_mult,
+            valid_every=0,
+        )
 
     n = init_embed.shape[0]
     bsz = spec.batch_size
@@ -233,11 +263,39 @@ def fit_latents(
             batch_body, (embed, dec, e_opt, d_opt), (idx, valid)
         )
         epoch_loss = jnp.sum(batch_losses)
-        return (embed, dec, e_opt, d_opt, key), epoch_loss
 
-    (embed, dec, _, _, _), losses = jax.lax.scan(
-        epoch_body,
-        (embed, decoder_params, embed_opt, dec_opt, rng),
-        jnp.arange(spec.n_epochs_max),
+        if inner_spec is None:
+            return (embed, dec, e_opt, d_opt, key), epoch_loss
+
+        # recursive validation: refit valid latents against the frozen
+        # current decoder (full inner fit — reference simplesif.py:146-151)
+        v_init, v_data = validation
+        key, v_key = jax.random.split(key)
+        do_valid = jnp.logical_and(active, epoch_idx % spec.valid_every == 0)
+
+        def run_valid():
+            _, _, v_losses = fit_latents(
+                v_key, v_init, dec, v_data, vocab_emb, hp, inner_spec
+            )
+            last_idx = jnp.clip(hp["n_epochs"] - 1, 0, spec.n_epochs_max - 1)
+            return v_losses[last_idx]
+
+        v_loss = jax.lax.cond(do_valid, run_valid, lambda: jnp.float32(jnp.nan))
+        return (embed, dec, e_opt, d_opt, key), (epoch_loss, v_loss)
+
+    carry0 = (embed, decoder_params, embed_opt, dec_opt, rng)
+    if inner_spec is None:
+        (embed, dec, _, _, _), losses = jax.lax.scan(
+            epoch_body, carry0, jnp.arange(spec.n_epochs_max)
+        )
+        return embed, dec, losses
+
+    (embed, dec, _, _, key), (losses, valid_losses) = jax.lax.scan(
+        epoch_body, carry0, jnp.arange(spec.n_epochs_max)
     )
-    return embed, dec, losses
+    # final validation (simplesif.py:153-159)
+    v_init, v_data = validation
+    _, _, fv = fit_latents(key, v_init, dec, v_data, vocab_emb, hp, inner_spec)
+    last_idx = jnp.clip(hp["n_epochs"] - 1, 0, spec.n_epochs_max - 1)
+    valid_losses = jnp.concatenate([valid_losses, fv[last_idx][None]])
+    return embed, dec, losses, valid_losses

@@ -72,6 +72,36 @@ def test_run_experiment_unimodal_semi_sup(tmp_path):
     assert np.isfinite(res["final_train_loss"])
 
 
+def test_run_experiment_iemocap(tmp_path):
+    cfg = ExperimentConfig(
+        dataset="iemocap", n_epochs=2, n_sentiment_epochs=4, batch_size=8,
+        e2e=False, optimizer="adam", lr=1e-3, config_name="smokeiem",
+    )
+    prep = _tiny_prep("iemocap")
+    res = run_experiment(cfg, out_root=str(tmp_path), prep=prep, verbose=False)
+    after = res["sentiment"]["after"]
+    assert 0.0 <= after["accuracy"] <= 1.0 and "f_score" in after
+
+
+def test_validation_curve(tmp_path):
+    """Recursive validation-during-training (simplesif.py:146-159)."""
+    cfg = ExperimentConfig(
+        dataset="mosi", n_epochs=3, n_sentiment_epochs=4, batch_size=8,
+        e2e=False, optimizer="sgd", lr=1e-4, config_name="smokeval",
+    )
+    prep = _tiny_prep()
+    res = run_experiment(
+        cfg, out_root=str(tmp_path), prep=prep, verbose=False,
+        validation_curve=True,
+    )
+    assert np.isfinite(res["final_train_loss"])
+    curve_file = tmp_path / "smokeval" / "config_0_run_0" / "embed_valid_loss.txt"
+    vals = [float(x) for x in curve_file.read_text().split()]
+    # epoch 0 sample + final validation (valid_every=80 > n_epochs=3)
+    assert len(vals) == 2
+    assert all(np.isfinite(v) for v in vals)
+
+
 def test_cli_main(tmp_path, monkeypatch):
     """Full CLI path with reference-format config JSON + synthetic fallback."""
     from mmtpu import run as cli
