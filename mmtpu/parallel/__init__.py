@@ -10,11 +10,15 @@ natural parallel axes (SURVEY.md §5):
 """
 
 from mmtpu.parallel.mesh import make_mesh, config_sharding, replicated
-from mmtpu.parallel.collectives import sharded_angular_partition
+from mmtpu.parallel.collectives import (
+    sharded_angular_partition,
+    sharded_gaussian_logpdf,
+)
 
 __all__ = [
     "make_mesh",
     "config_sharding",
     "replicated",
     "sharded_angular_partition",
+    "sharded_gaussian_logpdf",
 ]

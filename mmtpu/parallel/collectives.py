@@ -49,3 +49,44 @@ def sharded_angular_partition(
         check_vma=False,
     )
     return fn(latents, vocab_embeddings)
+
+
+def sharded_gaussian_logpdf(
+    mu: jax.Array,
+    sigma: jax.Array,
+    values: jax.Array,
+    mask: jax.Array,
+    mesh: Mesh,
+    axis: str = "seq",
+) -> jax.Array:
+    """Masked Gaussian log-likelihood with the SEQUENCE axis sharded.
+
+    The reference has no long-context machinery; its only long sequences are
+    POM token rows (up to 1357 steps, SURVEY.md §5).  Because the MMB
+    likelihood is a masked segment-sum over timesteps, it shards trivially
+    along the sequence axis: each device sums its shard and one ``psum``
+    combines (mu/sigma are per-utterance and replicated).
+
+    Args:
+        mu, sigma: ``(B, F)``.
+        values, mask: ``(B, L, F)`` with L divisible by the mesh axis size.
+        mesh: mesh with ``axis``.
+
+    Returns:
+        ``(B,)``.
+    """
+    from mmtpu.ops.gaussian import gaussian_logpdf_masked
+
+    def local(mu, sigma, v, m):
+        return jax.lax.psum(
+            gaussian_logpdf_masked(mu, sigma, v, m), axis_name=axis
+        )
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(None, axis, None), P(None, axis, None)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(mu, sigma, values, mask)

@@ -187,3 +187,19 @@ class TestCollectives:
         got = sharded_angular_partition(lat, vocab, mesh)
         want = angular_partition(lat, vocab)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+class TestSeqSharding:
+    def test_sharded_gaussian_logpdf(self, rng):
+        from mmtpu.ops.gaussian import gaussian_logpdf_masked
+        from mmtpu.parallel import make_mesh, sharded_gaussian_logpdf
+
+        B, L, F = 4, 16, 6
+        mu = jnp.asarray(rng.standard_normal((B, F)).astype(np.float32))
+        sigma = jnp.asarray(np.exp(rng.standard_normal((B, F)) * 0.2).astype(np.float32))
+        values = jnp.asarray(rng.standard_normal((B, L, F)).astype(np.float32))
+        mask = jnp.asarray((rng.random((B, L, F)) < 0.8).astype(np.float32))
+        mesh = make_mesh(axis_names=("seq",))
+        got = sharded_gaussian_logpdf(mu, sigma, values, mask, mesh)
+        want = gaussian_logpdf_masked(mu, sigma, values, mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4)
