@@ -71,6 +71,7 @@ class ExperimentConfig:
     # --- mmtpu extensions ---
     parity: bool = False  # reproduce reference bugs (pos-embed indexing)
     seed: int = 0
+    use_pallas: bool = False  # fused Pallas kernel for the angular partition
 
     @classmethod
     def from_json(cls, path: str, **overrides) -> "ExperimentConfig":

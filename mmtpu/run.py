@@ -64,6 +64,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--precision", choices=["default", "highest"],
                         help="matmul precision (TPU default truncates inputs "
                              "to bf16; 'highest' keeps float32)")
+    parser.add_argument("--pallas", action="store_true",
+                        help="use the fused Pallas kernel for the angular "
+                             "word-likelihood partition")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no_artifacts", action="store_true")
     return parser.parse_args(argv)
@@ -93,6 +96,7 @@ def main(argv=None) -> int:
         e2e=args.e2e,
         parity=args.parity or None,
         seed=args.seed,
+        use_pallas=args.pallas or None,
     )
     precision = args.precision or ("highest" if args.parity else None)
     if precision:

@@ -192,6 +192,12 @@ def run_experiment(
     hp = build_hp(cfg)
     vocab = jnp.asarray(prep.vocab_embeddings)
 
+    partition_fn = None
+    if cfg.use_pallas and cfg.word_sim_metric == "angular":
+        from mmtpu.kernels.angular import angular_partition_pallas
+
+        partition_fn = angular_partition_pallas
+
     t_train_start = time.time()
     semi_mask = load_semi_sup_mask(cfg, prep.labels["train"].shape[0], data_dir)
     valid_curve = None
@@ -206,6 +212,7 @@ def run_experiment(
             batch_size=cfg.batch_size,
             unimodal=cfg.unimodal,
             word_metric=cfg.word_sim_metric,
+            partition_fn=partition_fn,
         )
         train_embed, decoder, _, train_losses = _fit_e2e(
             k_fit,
@@ -227,6 +234,7 @@ def run_experiment(
             unimodal=cfg.unimodal,
             word_metric=cfg.word_sim_metric,
             valid_every=80 if validation_curve else 0,  # valid_niter*8
+            partition_fn=partition_fn,
         )
         valid_curve = None
         if validation_curve:
@@ -260,6 +268,7 @@ def run_experiment(
         unimodal=cfg.unimodal,
         word_metric=cfg.word_sim_metric,
         shuffle=False,
+        partition_fn=partition_fn,
     )
     valid_embed, _, valid_losses = _fit_latents(
         k_val, jnp.asarray(prep.sif_init["valid"]), decoder,

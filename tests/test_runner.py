@@ -137,3 +137,24 @@ def test_cli_main(tmp_path, monkeypatch):
     assert rc == 0
     assert (tmp_path / "saves" / "cli_smoke" / "config_5_run_0" / "post"
             / "test_results_after.json").exists()
+
+
+def test_run_experiment_with_pallas_kernel(tmp_path):
+    """--pallas wiring: the fused partition kernel (interpret mode on CPU)
+    must reproduce the XLA path's results."""
+    cfg = ExperimentConfig(
+        dataset="mosi", n_epochs=2, n_sentiment_epochs=3, batch_size=8,
+        e2e=True, optimizer="sgd", lr=1e-4, config_name="smokepallas",
+    )
+    prep = _tiny_prep()
+    res_x = run_experiment(cfg, out_root=str(tmp_path / "a"), prep=prep,
+                           verbose=False)
+    import dataclasses as dc
+
+    cfg_p = dc.replace(cfg, use_pallas=True)
+    res_p = run_experiment(cfg_p, out_root=str(tmp_path / "b"), prep=prep,
+                           verbose=False)
+    np.testing.assert_allclose(res_p["final_train_loss"],
+                               res_x["final_train_loss"], rtol=1e-4)
+    np.testing.assert_allclose(res_p["sentiment"]["after"]["mae"],
+                               res_x["sentiment"]["after"]["mae"], rtol=1e-3)

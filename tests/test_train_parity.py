@@ -208,6 +208,110 @@ def test_fit_latents_matches_torch_reference(rng, optimizer_kind):
     )
 
 
+@pytest.mark.parametrize("norm", ["layer_norm", "batch_norm"])
+def test_fit_latents_norm_matches_torch(rng, norm):
+    """Trajectory parity including the norm layer (models.py:161-168,187-191;
+    BatchNorm1d always in training mode — reference never calls .eval())."""
+    d = _make_tiny(rng)  # n=13 → last batch of 3 exercises masked-BN padding
+    n, D = d["init_embed"].shape
+    A, Vis = d["audio"].shape[-1], d["visual"].shape[-1]
+    n_epochs, lr, bsz, wlw = 2, 1e-3, 5, 0.002
+
+    dims = {h: head_dims(h, D, A, Vis) for h in MMB2_HEADS}
+    tm = TorchRefMMB(MMB2_HEADS, D, dims)
+    t_norm = (torch.nn.LayerNorm(D) if norm == "layer_norm"
+              else torch.nn.BatchNorm1d(D))
+
+    # snapshot initial weights BEFORE torch trains them in place
+    heads_jax = {}
+    for h in MMB2_HEADS:
+        heads_jax[h] = {
+            "w_mu": jnp.array(tm.mods[h]["mu"].weight.detach().numpy().T),
+            "b_mu": jnp.array(tm.mods[h]["mu"].bias.detach().numpy()),
+            "w_log_sigma": jnp.array(
+                tm.mods[h]["log_sigma"].weight.detach().numpy().T),
+            "b_log_sigma": jnp.array(
+                tm.mods[h]["log_sigma"].bias.detach().numpy()),
+        }
+    dec_params = {"heads": heads_jax,
+                  "norm": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))}}
+
+    # torch loop with norm before the heads
+    vocab_t = torch.tensor(d["vocab"])
+    ids_t = torch.tensor(d["ids"], dtype=torch.long)
+    se_all = vocab_t[ids_t]
+    ww_all = torch.tensor(d["vw"])[ids_t]
+    tok_m = torch.tensor(d["token_mask"])
+    audio, visual = torch.tensor(d["audio"]), torch.tensor(d["visual"])
+    am, vm = torch.tensor(d["audio_mask"]), torch.tensor(d["visual_mask"])
+    embed = torch.tensor(d["init_embed"].copy())
+    embed.requires_grad = True
+    opt = torch.optim.SGD(
+        [embed] + list(tm.parameters()) + list(t_norm.parameters()), lr=lr
+    )
+    want_losses = []
+    for _ in range(n_epochs):
+        ep = 0.0
+        for s in range(0, n, bsz):
+            j = torch.arange(s, min(s + bsz, n))
+            opt.zero_grad()
+            x = t_norm(embed[j])
+            out = {
+                h: {"mu": m["mu"](x), "sigma": m["log_sigma"](x).exp()}
+                for h, m in tm.mods.items()
+            }
+            text = se_all[j]
+            data = {
+                "audio": audio[j], "visual": visual[j],
+                "audiovisual": torch.cat([audio[j], visual[j]], -1),
+                "textaudio": torch.cat([text, audio[j]], -1),
+                "textvisual": torch.cat([text, visual[j]], -1),
+                "textaudiovisual": torch.cat([text, audio[j], visual[j]], -1),
+            }
+            tm3 = tok_m[j].unsqueeze(-1).expand_as(text)
+            masks = {
+                "audio": am[j], "visual": vm[j],
+                "audiovisual": torch.cat([am[j], vm[j]], -1),
+                "textaudio": torch.cat([tm3, am[j]], -1),
+                "textvisual": torch.cat([tm3, vm[j]], -1),
+                "textaudiovisual": torch.cat([tm3, am[j], vm[j]], -1),
+            }
+            word_lp = _torch_word_logprob(embed[j], vocab_t, ww_all[j],
+                                          se_all[j], tok_m[j])
+            lps = [_torch_gauss(out[h]["mu"], out[h]["sigma"], data[h], masks[h])
+                   for h in MMB2_HEADS]
+            other = (1.0 - wlw) / len(lps)
+            loss = (-(sum(lps) * other + wlw * word_lp)).mean()
+            loss.backward()
+            opt.step()
+            ep += float(loss)
+        want_losses.append(ep)
+
+    ids = jnp.asarray(d["ids"])
+    vocab = jnp.asarray(d["vocab"])
+    text = vocab[ids]
+    data_j = {
+        "text": text, "text_weights": jnp.asarray(d["vw"])[ids],
+        "text_mask": jnp.asarray(d["token_mask"]), "text_gauss": text,
+        "text_gauss_mask": jnp.asarray(d["token_mask"]),
+        "audio": jnp.asarray(d["audio"]), "audio_mask": jnp.asarray(d["audio_mask"]),
+        "visual": jnp.asarray(d["visual"]), "visual_mask": jnp.asarray(d["visual_mask"]),
+    }
+    hp = {
+        "lr": jnp.float32(lr), "word_loss_weight": jnp.float32(wlw),
+        "opt_code": jnp.int32(0), "norm_code": jnp.int32(NORM_CODES[norm]),
+        "n_epochs": jnp.int32(n_epochs),
+    }
+    spec = LatentFitSpec(n_epochs_max=n_epochs, batch_size=bsz,
+                         train_decoder=True, unimodal=False, shuffle=False)
+    _, _, got_losses = fit_latents(
+        jax.random.key(0), jnp.asarray(d["init_embed"]), dec_params, data_j,
+        vocab, hp, spec,
+    )
+    np.testing.assert_allclose(np.asarray(got_losses), np.asarray(want_losses),
+                               rtol=3e-4, atol=3e-4)
+
+
 def test_fit_latents_norms_run(rng):
     """layer_norm / batch_norm paths compile and decrease the loss."""
     d = _make_tiny(rng)
