@@ -8,7 +8,7 @@ equivalent: cosine-kNN of each utterance embedding against the vocabulary.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import numpy as np
 import jax

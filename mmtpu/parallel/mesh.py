@@ -24,11 +24,9 @@ def make_mesh(
     if n_devices is not None:
         devices = devices[:n_devices]
     arr = np.array(devices)
-    if len(axis_names) > 1:
-        # split the device count evenly across leading axes
-        sizes = [len(devices) // np.prod([1])]  # placeholder; reshape below
-        arr = arr.reshape((-1,) + (1,) * (len(axis_names) - 1))
-    return Mesh(arr.reshape([len(devices)] + [1] * (len(axis_names) - 1)), axis_names)
+    # all devices on the first axis; any extra axes are singleton
+    shape = [len(devices)] + [1] * (len(axis_names) - 1)
+    return Mesh(arr.reshape(shape), axis_names)
 
 
 def config_sharding(mesh: Mesh, axis: str = "config") -> NamedSharding:

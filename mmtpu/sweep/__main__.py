@@ -41,6 +41,9 @@ def main(argv=None) -> int:
     parser.add_argument("--resume_dir", help="chunk checkpoint dir (resume here)")
     parser.add_argument("--mesh", action="store_true",
                         help="shard the config axis across all devices")
+    parser.add_argument("--unroll", type=int, default=1,
+                        help="scan unroll factor (amortizes per-step overhead "
+                             "at the cost of compile time)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -95,6 +98,7 @@ def main(argv=None) -> int:
         chunk_size=args.chunk_size,
         mesh=mesh,
         checkpoint_dir=args.resume_dir,
+        unroll=args.unroll,
     )
 
     os.makedirs(args.out, exist_ok=True)

@@ -44,6 +44,7 @@ class SweepStatics:
     word_metric: str = "angular"
     e2e: bool = True
     early_stopping: bool = False
+    unroll: int = 1  # scan unroll factor (see mmtpu.train.latents)
 
 
 def statics_from_configs(

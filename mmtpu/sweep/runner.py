@@ -79,12 +79,14 @@ def build_sweep_fn(statics: SweepStatics, labels, vocab, dataset_name: str,
         train_decoder=True,
         unimodal=statics.unimodal,
         word_metric=statics.word_metric,
+        unroll=statics.unroll,
     )
     espec = E2EFitSpec(
         n_epochs_max=statics.n_epochs_max,
         batch_size=statics.batch_size,
         unimodal=statics.unimodal,
         word_metric=statics.word_metric,
+        unroll=statics.unroll,
     )
     ispec = LatentFitSpec(
         n_epochs_max=statics.n_epochs_max,
@@ -93,10 +95,12 @@ def build_sweep_fn(statics: SweepStatics, labels, vocab, dataset_name: str,
         unimodal=statics.unimodal,
         word_metric=statics.word_metric,
         shuffle=False,
+        unroll=statics.unroll,
     )
     sspec = SentimentFitSpec(
         n_epochs_max=statics.n_sentiment_epochs_max,
         early_stopping=statics.early_stopping,
+        unroll=statics.unroll,
     )
     if dataset_name == "mosi":
         metric_fn = mosi_metrics
@@ -176,6 +180,7 @@ def run_sweep(
     return_embeddings: bool = False,
     verbose: bool = True,
     checkpoint_dir: Optional[str] = None,
+    unroll: int = 1,
 ) -> SweepResult:
     """Run every config of the grid in vmapped chunks.
 
@@ -191,6 +196,10 @@ def run_sweep(
             reference has no resume of any kind — SURVEY.md §5).
     """
     statics = statics_from_configs(configs, batch_size=batch_size, unimodal=unimodal)
+    if unroll != 1:
+        import dataclasses as _dc
+
+        statics = _dc.replace(statics, unroll=unroll)
     if statics.pos_max > 0 and prep.pos_table is None:
         raise ValueError(
             "sweep needs prepare_device_data(..., pos_mode='shared', "

@@ -35,6 +35,7 @@ class E2EFitSpec:
     shuffle: bool = True
     a: float = 1e-3
     partition_fn: object = None
+    unroll: int = 1
 
     def latent_spec(self) -> LatentFitSpec:
         return LatentFitSpec(
@@ -46,6 +47,7 @@ class E2EFitSpec:
             shuffle=self.shuffle,
             a=self.a,
             partition_fn=self.partition_fn,
+            unroll=self.unroll,
         )
 
 
@@ -139,7 +141,8 @@ def fit_e2e(
             return (embed2, dec2, sen2, e_opt2, d_opt2, s_opt2), loss
 
         (embed, dec, sen, e_opt, d_opt, s_opt), batch_losses = jax.lax.scan(
-            batch_body, (embed, dec, sen, e_opt, d_opt, s_opt), (idx, valid)
+            batch_body, (embed, dec, sen, e_opt, d_opt, s_opt), (idx, valid),
+            unroll=spec.unroll,
         )
         return (embed, dec, sen, e_opt, d_opt, s_opt, key), jnp.sum(batch_losses)
 

@@ -79,6 +79,9 @@ class LatentFitSpec:
     # 0 disables intermediate validation.
     valid_every: int = 0
     valid_batch_mult: int = 8  # valid loader batch = 8x train (simplesif.py:458)
+    # lax.scan unroll factor for the minibatch loop — merges scan iterations
+    # to amortize per-step kernel-launch overhead (semantics-neutral)
+    unroll: int = 1
 
 
 def _word_logprob(spec: LatentFitSpec, latents, vocab_emb, b):
@@ -260,7 +263,8 @@ def fit_latents(
             return (embed2, dec2, e_opt2, d_opt2), loss
 
         (embed, dec, e_opt, d_opt), batch_losses = jax.lax.scan(
-            batch_body, (embed, dec, e_opt, d_opt), (idx, valid)
+            batch_body, (embed, dec, e_opt, d_opt), (idx, valid),
+            unroll=spec.unroll,
         )
         epoch_loss = jnp.sum(batch_losses)
 

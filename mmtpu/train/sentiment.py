@@ -36,6 +36,7 @@ class SentimentFitSpec:
     patience: int = 10  # sentiment_model.py:86
     n_trials: int = 3  # sentiment_model.py:87
     shuffle: bool = True
+    unroll: int = 1
 
 
 def _batched_index(n: int, bsz: int, perm: jax.Array):
@@ -116,7 +117,8 @@ def fit_sentiment(
             p2 = jax.tree.map(lambda a, b: jnp.where(active, a, b), p2, p)
             return p2, loss
 
-        params, batch_losses = jax.lax.scan(batch_body, params, (idx, valid))
+        params, batch_losses = jax.lax.scan(batch_body, params, (idx, valid),
+                                            unroll=spec.unroll)
         train_loss = jnp.mean(batch_losses)
 
         # --- validation / early-stopping state machine, every valid_niter ---

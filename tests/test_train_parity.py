@@ -394,3 +394,33 @@ def test_epoch_masking_freezes_state(rng):
     e_exact, _ = run(2, 2)
     e_masked, _ = run(2, 5)
     np.testing.assert_allclose(e_masked, e_exact, rtol=0, atol=1e-6)
+
+
+def test_unroll_is_semantics_neutral(rng):
+    """lax.scan unroll merges iterations without changing results."""
+    from mmtpu.models.decoder import init_decoder
+
+    d = _make_tiny(rng)
+    ids = jnp.asarray(d["ids"])
+    vocab = jnp.asarray(d["vocab"])
+    text = vocab[ids]
+    data = {
+        "text": text, "text_weights": jnp.asarray(d["vw"])[ids],
+        "text_mask": jnp.asarray(d["token_mask"]), "text_gauss": text,
+        "text_gauss_mask": jnp.asarray(d["token_mask"]),
+        "audio": jnp.asarray(d["audio"]), "audio_mask": jnp.asarray(d["audio_mask"]),
+        "visual": jnp.asarray(d["visual"]), "visual_mask": jnp.asarray(d["visual_mask"]),
+    }
+    dec = init_decoder(jax.random.key(1), 8, 4, 3, unimodal=False)
+    hp = {"lr": jnp.float32(1e-3), "word_loss_weight": jnp.float32(0.002),
+          "opt_code": jnp.int32(1), "norm_code": jnp.int32(1),
+          "n_epochs": jnp.int32(4)}
+    outs = []
+    for u in (1, 4):
+        spec = LatentFitSpec(n_epochs_max=4, batch_size=5, train_decoder=True,
+                             unimodal=False, shuffle=False, unroll=u)
+        e, _, l = fit_latents(jax.random.key(2), jnp.asarray(d["init_embed"]),
+                              dec, data, vocab, hp, spec)
+        outs.append((np.asarray(e), np.asarray(l)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
