@@ -20,3 +20,24 @@ Reference behavior citations in docstrings point into the upstream repo as
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax at package import)."""
+    if name == "run_experiment":
+        from mmtpu.runner import run_experiment
+
+        return run_experiment
+    if name == "run_sweep":
+        from mmtpu.sweep import run_sweep
+
+        return run_sweep
+    if name == "ExperimentConfig":
+        from mmtpu.config import ExperimentConfig
+
+        return ExperimentConfig
+    if name == "load_dataset":
+        from mmtpu.data import load_dataset
+
+        return load_dataset
+    raise AttributeError(name)

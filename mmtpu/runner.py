@@ -297,10 +297,21 @@ def run_experiment(
             ),
         )
 
+    final_loss = float(np.asarray(train_losses)[cfg.n_epochs - 1])
+    diverged = not (
+        np.isfinite(final_loss)
+        and np.isfinite(np.asarray(train_embed)).all()
+    )
+    if diverged and verbose:
+        # the reference sys.exit()s the whole process on infinite losses
+        # (losses.py:258-264); mmtpu records the divergence and continues
+        print(f"[mmtpu] WARNING: config {cfg.config_num} diverged "
+              f"(final_loss={final_loss})")
     results: Dict = {
         "config_num": cfg.config_num,
         "train_time_s": train_time,
-        "final_train_loss": float(np.asarray(train_losses)[cfg.n_epochs - 1]),
+        "final_train_loss": final_loss,
+        "diverged": diverged,
     }
 
     if time_test:

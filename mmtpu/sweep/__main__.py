@@ -41,6 +41,8 @@ def main(argv=None) -> int:
     parser.add_argument("--resume_dir", help="chunk checkpoint dir (resume here)")
     parser.add_argument("--mesh", action="store_true",
                         help="shard the config axis across all devices")
+    parser.add_argument("--n_runs", type=int, default=1,
+                        help="repetitions per config with independent seeds")
     parser.add_argument("--unroll", type=int, default=1,
                         help="scan unroll factor (amortizes per-step overhead "
                              "at the cost of compile time)")
@@ -99,12 +101,15 @@ def main(argv=None) -> int:
         mesh=mesh,
         checkpoint_dir=args.resume_dir,
         unroll=args.unroll,
+        n_runs=args.n_runs,
     )
 
     os.makedirs(args.out, exist_ok=True)
     records = res.to_records()
+    cfg_by_num = {c.get("config_num", i): c for i, c in enumerate(configs)}
     # flatten per-trait lists (POM) for the CSV
-    for rec, cfg in zip(records, configs):
+    for rec in records:
+        cfg = cfg_by_num.get(rec["config_num"], {})
         for k in ("lr", "sentiment_lr", "n_epochs", "optimizer", "norm",
                   "pos_embed_dim", "sentiment_hidden_size", "word_loss_weight",
                   "likelihood_weight"):

@@ -103,4 +103,5 @@ def pack_configs(configs: Sequence[dict], statics: SweepStatics) -> Dict[str, np
         "hidden_dims": arr("sentiment_hidden_size", 100, np.int32),
         "pos_mask": pos_mask,
         "config_num": arr("config_num", 0, np.int32),
+        "run_idx": arr("_run_idx", 0, np.int32),
     }

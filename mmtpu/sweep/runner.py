@@ -35,6 +35,7 @@ class SweepResult:
     """Per-config arrays (leading axis = config), ordered as the input list."""
 
     config_nums: np.ndarray
+    run_idxs: np.ndarray
     final_train_loss: np.ndarray
     metrics: Dict[str, np.ndarray]  # per-config "after" test metrics
     wall_time_s: float
@@ -46,6 +47,7 @@ class SweepResult:
         for i in range(self.n_configs):
             rec = {
                 "config_num": int(self.config_nums[i]),
+                "run": int(self.run_idxs[i]),
                 "final_train_loss": float(self.final_train_loss[i]),
             }
             for k, v in self.metrics.items():
@@ -181,6 +183,7 @@ def run_sweep(
     verbose: bool = True,
     checkpoint_dir: Optional[str] = None,
     unroll: int = 1,
+    n_runs: int = 1,
 ) -> SweepResult:
     """Run every config of the grid in vmapped chunks.
 
@@ -194,7 +197,14 @@ def run_sweep(
         checkpoint_dir: if set, per-chunk results are persisted there and a
             restarted sweep resumes at the first incomplete chunk (the
             reference has no resume of any kind — SURVEY.md §5).
+        n_runs: repetitions per config with independent seeds (the
+            reference's --n_runs, simplesif.py:193); expands the config list
+            as (config, run) pairs along the same vmap axis.
     """
+    if n_runs > 1:
+        configs = [
+            dict(c, _run_idx=r) for c in configs for r in range(n_runs)
+        ]
     statics = statics_from_configs(configs, batch_size=batch_size, unimodal=unimodal)
     if unroll != 1:
         import dataclasses as _dc
@@ -287,19 +297,21 @@ def run_sweep(
 
         hp_np = pack_configs(chunk_cfgs, statics)
         cfg_nums = jnp.asarray(hp_np["config_num"])
-        dec_keys = jax.vmap(lambda c: jax.random.fold_in(dec_root, c))(cfg_nums)
+        # unique per (config, run): fold in a combined id
+        uid = jnp.asarray(hp_np["config_num"] * 1024 + hp_np["run_idx"])
+        dec_keys = jax.vmap(lambda c: jax.random.fold_in(dec_root, c))(uid)
         dec_stack = jax.vmap(
             lambda k: init_decoder(
                 k, prep.embed_dim, audio_dim, visual_dim,
                 unimodal=statics.unimodal, text_dim=prep.text_gauss_dim,
             )
         )(dec_keys)
-        sent_keys = jax.vmap(lambda c: jax.random.fold_in(sent_root, c))(cfg_nums)
+        sent_keys = jax.vmap(lambda c: jax.random.fold_in(sent_root, c))(uid)
         senti_stack = _stacked_sentiment_init(
             sent_keys, prep.embed_dim, hp_np["hidden_dims"], n_out,
             statics.hidden_max,
         )
-        rngs = jax.vmap(lambda c: jax.random.fold_in(run_root, c))(cfg_nums)
+        rngs = jax.vmap(lambda c: jax.random.fold_in(run_root, c))(uid)
 
         hp = shard_cfg({
             "lr": jnp.asarray(hp_np["lr"]),
@@ -372,6 +384,7 @@ def run_sweep(
     metrics = {k: np.concatenate(v, axis=0) for k, v in metrics_acc.items()}
     return SweepResult(
         config_nums=np.asarray([c.get("config_num", i) for i, c in enumerate(configs)]),
+        run_idxs=np.asarray([c.get("_run_idx", 0) for c in configs]),
         final_train_loss=results_loss,
         metrics=metrics,
         wall_time_s=time.time() - t0,

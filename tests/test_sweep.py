@@ -203,3 +203,17 @@ class TestSeqSharding:
         got = sharded_gaussian_logpdf(mu, sigma, values, mask, mesh)
         want = gaussian_logpdf_masked(mu, sigma, values, mask)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4)
+
+
+class TestMultiRun:
+    def test_n_runs_expansion(self):
+        prep = _tiny_prep()
+        cfgs = _grid4()[:2]
+        res = run_sweep(cfgs, prep, batch_size=8, n_runs=2, verbose=False)
+        assert res.n_configs == 4
+        assert res.run_idxs.tolist() == [0, 1, 0, 1]
+        assert res.config_nums.tolist() == [0, 0, 1, 1]
+        # different seeds → different results per run
+        assert res.final_train_loss[0] != res.final_train_loss[1]
+        recs = res.to_records()
+        assert recs[1]["run"] == 1
