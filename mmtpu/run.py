@@ -69,6 +69,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                              "word-likelihood partition")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no_artifacts", action="store_true")
+    parser.add_argument("--profile", metavar="DIR", nargs="?",
+                        const="/tmp/mmtpu_trace",
+                        help="capture a jax.profiler device trace of the run")
     return parser.parse_args(argv)
 
 
@@ -113,21 +116,29 @@ def main(argv=None) -> int:
     if prep.synthetic:
         print("[mmtpu] real data blobs not found — using synthetic stand-ins")
 
+    import contextlib
+
+    from mmtpu.utils.profiling import trace
+
+    profile_cm = trace(args.profile) if args.profile else contextlib.nullcontext()
     all_results = []
-    for r in range(cfg.n_runs):
-        res = run_experiment(
-            cfg,
-            data_dir=args.data_dir,
-            out_root=args.out_root,
-            prep=prep,
-            run_idx=r,
-            save_artifacts=not args.no_artifacts,
-            time_test=args.time_test,
-            validation_curve=args.validation_curve,
-        )
-        all_results.append(res)
-        print(f"run {r}: train_time={res['train_time_s']:.2f}s "
-              f"final_loss={res['final_train_loss']:.3f}")
+    with profile_cm:
+        for r in range(cfg.n_runs):
+            res = run_experiment(
+                cfg,
+                data_dir=args.data_dir,
+                out_root=args.out_root,
+                prep=prep,
+                run_idx=r,
+                save_artifacts=not args.no_artifacts,
+                time_test=args.time_test,
+                validation_curve=args.validation_curve,
+            )
+            all_results.append(res)
+            print(f"run {r}: train_time={res['train_time_s']:.2f}s "
+                  f"final_loss={res['final_train_loss']:.3f}")
+    if args.profile:
+        print(f"[mmtpu] profiler trace written to {args.profile}")
     sys.stdout.flush()
     return 0
 

@@ -265,3 +265,24 @@ class TestSweepCLI:
         assert (tmp_path / "results" / "clisweep.csv").exists()
         summary = json.load(open(tmp_path / "results" / "clisweep_summary.json"))
         assert summary["n_configs"] == 3
+
+
+class TestCheckpointer:
+    def test_save_restore_roundtrip(self, tmp_path):
+        from mmtpu.io.checkpoint import Checkpointer
+
+        ck = Checkpointer(str(tmp_path / "ck"), keep=2)
+        tree = {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 3))}}
+        assert ck.latest_step() is None
+        ck.save(1, tree, extra={"epoch": 1})
+        tree2 = jax.tree.map(lambda x: x * 2, tree)
+        ck.save(5, tree2, extra={"epoch": 5})
+        got, step, extra = ck.restore(jax.tree.map(jnp.zeros_like, tree))
+        assert step == 5 and extra == {"epoch": 5}
+        np.testing.assert_allclose(np.asarray(got["a"]), np.arange(4.0) * 2)
+        # garbage collection keeps only the last 2
+        ck.save(9, tree)
+        assert sorted(ck.steps()) == [5, 9]
+        # restore a specific older step
+        got5, _, _ = ck.restore(jax.tree.map(jnp.zeros_like, tree), step=5)
+        np.testing.assert_allclose(np.asarray(got5["b"]["c"]), 2.0)
