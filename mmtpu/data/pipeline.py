@@ -121,8 +121,16 @@ def prepare_device_data(
     pos_bug_parity: bool = False,
     normalize_parity: bool = True,
     max_text_len: Optional[int] = None,
+    suff_stats: bool = True,
 ) -> PreparedData:
-    """Turn a :func:`mmtpu.data.registry.load_dataset` result into device arrays."""
+    """Turn a :func:`mmtpu.data.registry.load_dataset` result into device arrays.
+
+    ``suff_stats=True`` additionally precomputes the per-(utterance, feature)
+    Gaussian sufficient statistics ``<stream>_s0/s1/s2`` (and per-channel
+    stats for the shared positional table), letting the training step skip
+    the sequence axis for every Gaussian head — mathematically exact (see
+    ``mmtpu.ops.gaussian.gaussian_logpdf_suffstats``).
+    """
     name = dataset["name"]
     we = np.asarray(dataset["word_embeddings"], np.float32)
     ww = np.asarray(dataset["word_weights"], np.float32)
@@ -182,6 +190,29 @@ def prepare_device_data(
         if pos_table is not None:
             d["pos_table"] = pos_table
             d["pos_mask"] = np.ones((pos_table.shape[-1],), np.float32)
+
+        if suff_stats:
+            def _stats(x, m):
+                m3 = m[:, :, None] if m.ndim == 2 else m
+                mv = (m3 * x).astype(np.float64)
+                return (
+                    np.broadcast_to(m3, x.shape).sum(-2).astype(np.float32),
+                    mv.sum(-2).astype(np.float32),
+                    (mv * x).sum(-2).astype(np.float32),
+                )
+
+            for stream, mask_key in (("audio", "audio_mask"),
+                                     ("visual", "visual_mask"),
+                                     ("text_gauss", "text_gauss_mask")):
+                s0, s1, s2 = _stats(d[stream], d[mask_key])
+                d[f"{stream}_s0"], d[f"{stream}_s1"], d[f"{stream}_s2"] = s0, s1, s2
+            if pos_table is not None:
+                # shared-table stats per channel (mask is all-ones over L)
+                pt = pos_table.astype(np.float64)
+                d["pos_s0"] = np.full((pos_table.shape[-1],), pos_table.shape[0],
+                                      np.float32)
+                d["pos_s1"] = pt.sum(0).astype(np.float32)
+                d["pos_s2"] = (pt * pt).sum(0).astype(np.float32)
 
         splits_out[split] = d
         labels[split] = np.asarray(arrays["label"], np.float32)

@@ -27,7 +27,7 @@ from mmtpu.io.artifacts import ArtifactStore
 from mmtpu.models.decoder import NORM_CODES, init_decoder
 from mmtpu.models.sentiment import apply_sentiment, init_sentiment
 from mmtpu.train.e2e import E2EFitSpec, fit_e2e
-from mmtpu.train.latents import LatentFitSpec, fit_latents
+from mmtpu.train.latents import LatentFitSpec, fit_latents, train_view
 from mmtpu.train.optim import OPT_CODES
 from mmtpu.train.sentiment import SentimentFitSpec, fit_sentiment
 
@@ -58,6 +58,8 @@ def prepare(cfg: ExperimentConfig, data_dir: str = ".") -> PreparedData:
         pos_embed_dim=cfg.pos_embed_dim,
         pos_mode="baked",
         pos_bug_parity=cfg.parity,
+        # parity mode keeps the raw per-timestep Gaussian computation
+        suff_stats=not cfg.parity,
     )
 
 
@@ -219,7 +221,7 @@ def run_experiment(
             jnp.asarray(prep.sif_init["train"]),
             decoder,
             senti0,
-            prep.splits["train"],
+            train_view(prep.splits["train"]),
             jnp.asarray(prep.labels["train"]),
             vocab,
             hp,
@@ -242,18 +244,18 @@ def run_experiment(
                 k_fit,
                 jnp.asarray(prep.sif_init["train"]),
                 decoder,
-                prep.splits["train"],
+                train_view(prep.splits["train"]),
                 vocab,
                 hp,
                 spec,
-                (jnp.asarray(prep.sif_init["valid"]), prep.splits["valid"]),
+                (jnp.asarray(prep.sif_init["valid"]), train_view(prep.splits["valid"])),
             )
         else:
             train_embed, decoder, train_losses = _fit_latents(
                 k_fit,
                 jnp.asarray(prep.sif_init["train"]),
                 decoder,
-                prep.splits["train"],
+                train_view(prep.splits["train"]),
                 vocab,
                 hp,
                 spec,
@@ -272,11 +274,11 @@ def run_experiment(
     )
     valid_embed, _, valid_losses = _fit_latents(
         k_val, jnp.asarray(prep.sif_init["valid"]), decoder,
-        prep.splits["valid"], vocab, hp, infer_spec,
+        train_view(prep.splits["valid"]), vocab, hp, infer_spec,
     )
     test_embed, _, test_losses = _fit_latents(
         k_test, jnp.asarray(prep.sif_init["test"]), decoder,
-        prep.splits["test"], vocab, hp, infer_spec,
+        train_view(prep.splits["test"]), vocab, hp, infer_spec,
     )
     jax.block_until_ready(test_embed)
     train_time = time.time() - t_train_start

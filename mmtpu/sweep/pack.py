@@ -45,6 +45,8 @@ class SweepStatics:
     e2e: bool = True
     early_stopping: bool = False
     unroll: int = 1  # scan unroll factor (see mmtpu.train.latents)
+    # static optimizer kind for a homogeneous bucket (None = branchless mix)
+    opt_kind: str | None = None
 
 
 def statics_from_configs(

@@ -26,7 +26,7 @@ from mmtpu.models.decoder import init_decoder
 from mmtpu.models.sentiment import apply_sentiment, init_sentiment
 from mmtpu.sweep.pack import SweepStatics, pack_configs, statics_from_configs
 from mmtpu.train.e2e import E2EFitSpec, fit_e2e
-from mmtpu.train.latents import LatentFitSpec, fit_latents
+from mmtpu.train.latents import LatentFitSpec, fit_latents, train_view
 from mmtpu.train.sentiment import SentimentFitSpec, fit_sentiment
 
 
@@ -82,6 +82,7 @@ def build_sweep_fn(statics: SweepStatics, labels, vocab, dataset_name: str,
         unimodal=statics.unimodal,
         word_metric=statics.word_metric,
         unroll=statics.unroll,
+        opt_kind=statics.opt_kind,
     )
     espec = E2EFitSpec(
         n_epochs_max=statics.n_epochs_max,
@@ -89,6 +90,7 @@ def build_sweep_fn(statics: SweepStatics, labels, vocab, dataset_name: str,
         unimodal=statics.unimodal,
         word_metric=statics.word_metric,
         unroll=statics.unroll,
+        opt_kind=statics.opt_kind,
     )
     ispec = LatentFitSpec(
         n_epochs_max=statics.n_epochs_max,
@@ -98,6 +100,7 @@ def build_sweep_fn(statics: SweepStatics, labels, vocab, dataset_name: str,
         word_metric=statics.word_metric,
         shuffle=False,
         unroll=statics.unroll,
+        opt_kind=statics.opt_kind,
     )
     sspec = SentimentFitSpec(
         n_epochs_max=statics.n_sentiment_epochs_max,
@@ -201,14 +204,14 @@ def run_sweep(
             reference's --n_runs, simplesif.py:193); expands the config list
             as (config, run) pairs along the same vmap axis.
     """
+    import dataclasses as _dc
+
     if n_runs > 1:
         configs = [
             dict(c, _run_idx=r) for c in configs for r in range(n_runs)
         ]
     statics = statics_from_configs(configs, batch_size=batch_size, unimodal=unimodal)
     if unroll != 1:
-        import dataclasses as _dc
-
         statics = _dc.replace(statics, unroll=unroll)
     if statics.pos_max > 0 and prep.pos_table is None:
         raise ValueError(
@@ -220,7 +223,6 @@ def run_sweep(
 
     k_total = len(configs)
     chunk = chunk_size or k_total
-    n_chunks = -(-k_total // chunk)
 
     # device placement (shared tensors once, replicated under a mesh)
     from mmtpu.parallel.mesh import config_sharding, replicated
@@ -237,7 +239,7 @@ def run_sweep(
         s = replicated(mesh)
         return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), s), tree)
 
-    data = {s: shard_rep(dict(prep.splits[s])) for s in ("train", "valid", "test")}
+    data = {s: shard_rep(train_view(prep.splits[s])) for s in ("train", "valid", "test")}
     labels = shard_rep({s: prep.labels[s] for s in ("train", "valid", "test")})
     vocab = shard_rep(jnp.asarray(prep.vocab_embeddings))
     init_embeds = shard_rep({s: prep.sif_init[s] for s in ("train", "valid", "test")})
@@ -249,21 +251,37 @@ def run_sweep(
     visual_dim = prep.visual_dim + p_tab
     n_out = 1 if prep.labels["train"].ndim == 1 else prep.labels["train"].shape[-1]
 
-    sweep_fn = None
     # per-config keys derive from fold_in(config_num) so results are
     # independent of chunking layout and config order
     root = jax.random.key(seed)
     dec_root, sent_root, run_root = jax.random.split(root, 3)
     results_loss = np.zeros(k_total, np.float32)
-    metrics_acc: Dict[str, list] = {}
+    metrics_out: Dict[str, np.ndarray] = {}
     t0 = time.time()
     compile_time = 0.0
+
+    # ---- bucket by optimizer: a homogeneous bucket bakes the optimizer as
+    # a STATIC kind (SGD buckets skip moment buffers and use row-sparse
+    # embedding updates — see mmtpu.train.optim / latents) ----
+    buckets: List[tuple] = []  # (opt_kind, [original positions])
+    by_opt: Dict[str, list] = {}
+    for i, c in enumerate(configs):
+        by_opt.setdefault(c.get("optimizer", "sgd"), []).append(i)
+    for kind, positions in sorted(by_opt.items()):
+        buckets.append((kind, positions))
+
+    work = []  # (chunk_id str, opt_kind, positions list)
+    for kind, positions in buckets:
+        for ci in range(-(-len(positions) // chunk)):
+            pos = positions[ci * chunk : (ci + 1) * chunk]
+            work.append((f"{kind}_{ci}", kind, pos))
+    n_chunks = len(work)
 
     # ---- chunk-level checkpoint / resume ----
     import json as _json
     import os as _os
 
-    done_chunks: Dict[int, dict] = {}
+    done_chunks: Dict[str, dict] = {}
     state_path = None
     if checkpoint_dir is not None:
         _os.makedirs(checkpoint_dir, exist_ok=True)
@@ -271,30 +289,38 @@ def run_sweep(
         if _os.path.isfile(state_path):
             st = _json.load(open(state_path))
             if st.get("n_configs") == k_total and st.get("chunk") == chunk:
-                for ci_str in st.get("chunks", []):
+                for cid in st.get("chunks", []):
                     npz = np.load(
-                        _os.path.join(checkpoint_dir, f"chunk_{ci_str}.npz")
+                        _os.path.join(checkpoint_dir, f"chunk_{cid}.npz")
                     )
-                    done_chunks[int(ci_str)] = {k: npz[k] for k in npz.files}
+                    done_chunks[str(cid)] = {k: npz[k] for k in npz.files}
                 if verbose and done_chunks:
                     print(f"[sweep] resuming: {len(done_chunks)}/{n_chunks} "
                           f"chunks already complete")
 
-    for ci in range(n_chunks):
-        lo, hi = ci * chunk, min((ci + 1) * chunk, k_total)
-        if ci in done_chunks:
-            saved = done_chunks[ci]
-            n_real = hi - lo
-            results_loss[lo:hi] = saved["final_train_loss"][:n_real]
-            for mk in saved:
-                if mk == "final_train_loss":
-                    continue
-                metrics_acc.setdefault(mk, []).append(saved[mk][:n_real])
-            continue
-        chunk_cfgs = list(configs[lo:hi])
-        pad_n = chunk - len(chunk_cfgs)
-        chunk_cfgs = chunk_cfgs + [configs[lo]] * pad_n  # shape-stable padding
+    def scatter_results(positions, chunk_loss, chunk_metrics):
+        n_real = len(positions)
+        results_loss[positions] = chunk_loss[:n_real]
+        for mk, mv in chunk_metrics.items():
+            if mk not in metrics_out:
+                metrics_out[mk] = np.zeros((k_total,) + mv.shape[1:], mv.dtype)
+            metrics_out[mk][positions] = mv[:n_real]
 
+    sweep_fns: Dict[str, object] = {}
+    for wi, (chunk_id, kind, positions) in enumerate(work):
+        if chunk_id in done_chunks:
+            saved = done_chunks[chunk_id]
+            scatter_results(
+                positions,
+                saved["final_train_loss"],
+                {k: v for k, v in saved.items() if k != "final_train_loss"},
+            )
+            continue
+        chunk_cfgs = [configs[p] for p in positions]
+        pad_n = chunk - len(chunk_cfgs)
+        chunk_cfgs = chunk_cfgs + [chunk_cfgs[0]] * pad_n  # shape-stable padding
+
+        bucket_statics = _dc.replace(statics, opt_kind=kind)
         hp_np = pack_configs(chunk_cfgs, statics)
         cfg_nums = jnp.asarray(hp_np["config_num"])
         # unique per (config, run): fold in a combined id
@@ -341,52 +367,47 @@ def run_sweep(
             pm = shard_cfg(jnp.asarray(pm_np))
             dtr["pos_mask"] = dva["pos_mask"] = dte["pos_mask"] = pm
 
-        if sweep_fn is None:
-            sweep_fn = build_sweep_fn(
-                statics, labels, vocab, prep.name,
+        if kind not in sweep_fns:
+            sweep_fns[kind] = build_sweep_fn(
+                bucket_statics, labels, vocab, prep.name,
                 return_embeddings=return_embeddings,
             )
             tc = time.time()
-            out = sweep_fn(rngs, init_embeds, dec_stack, senti_stack, hp, s_hp,
-                           dtr, dva, dte)
+            out = sweep_fns[kind](rngs, init_embeds, dec_stack, senti_stack,
+                                  hp, s_hp, dtr, dva, dte)
             jax.block_until_ready(out["final_train_loss"])
-            compile_time = time.time() - tc
+            compile_time += time.time() - tc
         else:
-            out = sweep_fn(rngs, init_embeds, dec_stack, senti_stack, hp, s_hp,
-                           dtr, dva, dte)
+            out = sweep_fns[kind](rngs, init_embeds, dec_stack, senti_stack,
+                                  hp, s_hp, dtr, dva, dte)
             jax.block_until_ready(out["final_train_loss"])
 
-        n_real = hi - lo
         chunk_loss = np.asarray(out["final_train_loss"])
-        results_loss[lo:hi] = chunk_loss[:n_real]
         chunk_metrics = {mk: np.asarray(mv) for mk, mv in out["metrics"].items()}
-        for mk, mv in chunk_metrics.items():
-            metrics_acc.setdefault(mk, []).append(mv[:n_real])
+        scatter_results(positions, chunk_loss, chunk_metrics)
         if state_path is not None:
             np.savez(
-                _os.path.join(checkpoint_dir, f"chunk_{ci}.npz"),
+                _os.path.join(checkpoint_dir, f"chunk_{chunk_id}.npz"),
                 final_train_loss=chunk_loss,
                 **chunk_metrics,
             )
-            done_list = sorted({*(int(c) for c in done_chunks), ci})
-            done_chunks[ci] = {}  # mark complete (data already merged)
+            done_chunks[chunk_id] = {}  # mark complete (data already merged)
             tmp = state_path + ".tmp"
             _json.dump(
                 {"n_configs": k_total, "chunk": chunk,
-                 "chunks": [str(c) for c in done_list]},
+                 "chunks": sorted(done_chunks)},
                 open(tmp, "w"),
             )
             _os.replace(tmp, state_path)
         if verbose:
-            print(f"[sweep] chunk {ci + 1}/{n_chunks} done "
-                  f"({hi}/{k_total} configs, {time.time() - t0:.1f}s)")
+            print(f"[sweep] chunk {wi + 1}/{n_chunks} [{kind}] done "
+                  f"({len(positions)} configs, {time.time() - t0:.1f}s)")
 
-    metrics = {k: np.concatenate(v, axis=0) for k, v in metrics_acc.items()}
     return SweepResult(
         config_nums=np.asarray([c.get("config_num", i) for i, c in enumerate(configs)]),
         run_idxs=np.asarray([c.get("_run_idx", 0) for c in configs]),
         final_train_loss=results_loss,
-        metrics=metrics,
+        metrics=metrics_out,
         wall_time_s=time.time() - t0,
         n_configs=k_total,
         compile_time_s=compile_time,

@@ -36,6 +36,7 @@ class E2EFitSpec:
     a: float = 1e-3
     partition_fn: object = None
     unroll: int = 1
+    opt_kind: str | None = None  # static optimizer kind (see LatentFitSpec)
 
     def latent_spec(self) -> LatentFitSpec:
         return LatentFitSpec(
@@ -48,6 +49,7 @@ class E2EFitSpec:
             a=self.a,
             partition_fn=self.partition_fn,
             unroll=self.unroll,
+            opt_kind=self.opt_kind,
         )
 
 
@@ -76,9 +78,9 @@ def fit_e2e(
     pad = n_batches * bsz - n
 
     embed = jnp.asarray(init_embed, jnp.float32)
-    e_opt = init_opt_state(embed)
-    d_opt = init_opt_state(decoder_params)
-    s_opt = init_opt_state(senti_params)
+    e_opt = init_opt_state(embed, spec.opt_kind)
+    d_opt = init_opt_state(decoder_params, spec.opt_kind)
+    s_opt = init_opt_state(senti_params, spec.opt_kind)
 
     valid_flat = jnp.concatenate(
         [jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
@@ -98,9 +100,10 @@ def fit_e2e(
             j, row_valid = xs
             b = _gather_batch(data, j)
             y = labels[j]
+            sparse_sgd = spec.opt_kind == "sgd"
 
-            def loss_fn(embed_all, dec_p, sen_p):
-                lat = embed_all[j]
+            def loss_fn(embed_arg, dec_p, sen_p):
+                lat = embed_arg if sparse_sgd else embed_arg[j]
                 # per-sample -log p (reuse the latent-fit loss but per-sample):
                 # batch_neg_log_prob reduces; recompute per-sample pieces here.
                 from mmtpu.models.decoder import apply_decoder
@@ -132,12 +135,23 @@ def fit_e2e(
                     jnp.sum(row_valid), 1.0
                 )
 
+            embed_arg = embed[j] if sparse_sgd else embed
             loss, (ge, gd, gs) = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
-                embed, dec, sen
+                embed_arg, dec, sen
             )
-            embed2, e_opt2 = opt_update(embed, ge, e_opt, hp["lr"], hp["opt_code"], active)
-            dec2, d_opt2 = opt_update(dec, gd, d_opt, hp["lr"], hp["opt_code"], active)
-            sen2, s_opt2 = opt_update(sen, gs, s_opt, hp["lr"], hp["opt_code"], active)
+            if sparse_sgd:
+                act = jnp.asarray(active, jnp.float32)
+                embed2 = embed.at[j].add(-hp["lr"] * act * ge)
+                e_opt2 = e_opt
+            else:
+                embed2, e_opt2 = opt_update(
+                    embed, ge, e_opt, hp["lr"], hp["opt_code"], active,
+                    kind=spec.opt_kind,
+                )
+            dec2, d_opt2 = opt_update(dec, gd, d_opt, hp["lr"], hp["opt_code"],
+                                      active, kind=spec.opt_kind)
+            sen2, s_opt2 = opt_update(sen, gs, s_opt, hp["lr"], hp["opt_code"],
+                                      active, kind=spec.opt_kind)
             return (embed2, dec2, sen2, e_opt2, d_opt2, s_opt2), loss
 
         (embed, dec, sen, e_opt, d_opt, s_opt), batch_losses = jax.lax.scan(

@@ -82,6 +82,12 @@ class LatentFitSpec:
     # lax.scan unroll factor for the minibatch loop — merges scan iterations
     # to amortize per-step kernel-launch overhead (semantics-neutral)
     unroll: int = 1
+    # STATIC optimizer kind ("sgd" | "adam" | None=branchless runtime code).
+    # "sgd" additionally enables row-sparse embedding updates (only the batch
+    # rows are touched — numerically identical for SGD, whose off-batch rows
+    # receive exactly zero update; Adam's stale-momentum semantics require
+    # dense updates and keep the full-table path).
+    opt_kind: str | None = None
 
 
 def _word_logprob(spec: LatentFitSpec, latents, vocab_emb, b):
@@ -104,25 +110,49 @@ def _head_log_prob(head: str, mu, sigma, b) -> jax.Array:
     Equivalent to the reference's Gaussian over torch.cat'ed data/masks
     (simplesif.py:93-113 + losses.py:251-256), since a diagonal Gaussian over
     a concatenation is the sum of diagonal Gaussians over the parts.
+
+    When the data dict carries sufficient statistics (``<stream>_s0/s1/s2``,
+    built by the prep pipeline), the quadratic-in-mu identity eliminates the
+    sequence axis from the computation entirely — mathematically exact, a
+    ~seq_len-fold VPU/bandwidth reduction (docs/DESIGN.md).
     """
+    use_stats = "audio_s0" in b
     total = 0.0
     ofs = 0
     for seg in head_segments(head):
-        if seg == "text":
-            parts = [(b["text_gauss"], b["text_gauss_mask"])]
-        elif seg == "audio":
-            parts = [(b["audio"], b["audio_mask"])]
-            if "pos_table" in b:
-                parts.append((b["pos_table"], b["pos_mask"]))
-        else:  # visual
-            parts = [(b["visual"], b["visual_mask"])]
-            if "pos_table" in b:
-                parts.append((b["pos_table"], b["pos_mask"]))
-        for values, mask in parts:
-            f = values.shape[-1]
-            total = total + gaussian_logpdf_masked(
-                mu[:, ofs : ofs + f], sigma[:, ofs : ofs + f], values, mask
-            )
+        if use_stats:
+            if seg == "text":
+                parts = [("stats", b["text_gauss_s0"], b["text_gauss_s1"],
+                          b["text_gauss_s2"])]
+            else:
+                parts = [("stats", b[f"{seg}_s0"], b[f"{seg}_s1"], b[f"{seg}_s2"])]
+                if "pos_s0" in b:
+                    pm = b["pos_mask"]
+                    parts.append(("stats", b["pos_s0"] * pm, b["pos_s1"] * pm,
+                                  b["pos_s2"] * pm))
+        else:
+            if seg == "text":
+                parts = [("raw", b["text_gauss"], b["text_gauss_mask"])]
+            elif seg == "audio":
+                parts = [("raw", b["audio"], b["audio_mask"])]
+                if "pos_table" in b:
+                    parts.append(("raw", b["pos_table"], b["pos_mask"]))
+            else:  # visual
+                parts = [("raw", b["visual"], b["visual_mask"])]
+                if "pos_table" in b:
+                    parts.append(("raw", b["pos_table"], b["pos_mask"]))
+        for part in parts:
+            f = part[1].shape[-1]
+            mu_s = mu[:, ofs : ofs + f]
+            sig_s = sigma[:, ofs : ofs + f]
+            if part[0] == "stats":
+                from mmtpu.ops.gaussian import gaussian_logpdf_suffstats
+
+                total = total + gaussian_logpdf_suffstats(
+                    mu_s, sig_s, part[1], part[2], part[3]
+                )
+            else:
+                total = total + gaussian_logpdf_masked(mu_s, sig_s, part[1], part[2])
             ofs += f
     return total
 
@@ -159,9 +189,24 @@ def batch_neg_log_prob(
     return jnp.sum(neg * row_valid) / jnp.maximum(jnp.sum(row_valid), 1.0)
 
 
+def train_view(data: Mapping[str, jax.Array]) -> dict:
+    """Training-time view of a prepared data dict: when Gaussian sufficient
+    statistics are present, the raw per-timestep streams (and their masks)
+    are dropped so the hot loop never gathers them — the word-likelihood
+    streams (text / text_weights / text_mask) are all that remain per-step.
+    """
+    if "audio_s0" not in data:
+        return dict(data)
+    drop = {
+        "audio", "audio_mask", "visual", "visual_mask",
+        "text_gauss", "text_gauss_mask", "pos_table",
+    }
+    return {k: v for k, v in data.items() if k not in drop}
+
+
 def _gather_batch(data: Mapping[str, jax.Array], j: jax.Array) -> dict:
     """Index the per-utterance arrays; pass shared tables through."""
-    shared = ("pos_table", "pos_mask")
+    shared = ("pos_table", "pos_mask", "pos_s0", "pos_s1", "pos_s2")
     return {k: (v if k in shared else v[j]) for k, v in data.items()}
 
 
@@ -218,8 +263,11 @@ def fit_latents(
     pad = n_batches * bsz - n
 
     embed = jnp.asarray(init_embed, jnp.float32)
-    embed_opt = init_opt_state(embed)
-    dec_opt = init_opt_state(decoder_params) if spec.train_decoder else None
+    embed_opt = init_opt_state(embed, spec.opt_kind)
+    dec_opt = (
+        init_opt_state(decoder_params, spec.opt_kind)
+        if spec.train_decoder else None
+    )
 
     valid_flat = jnp.concatenate(
         [jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
@@ -241,25 +289,37 @@ def fit_latents(
             embed, dec, e_opt, d_opt = bcarry
             j, row_valid = xs
             b = _gather_batch(data, j)
+            sparse_sgd = spec.opt_kind == "sgd"
 
-            def loss_fn(embed_all, dec_params):
+            def loss_fn(embed_arg, dec_params):
+                rows = embed_arg if sparse_sgd else embed_arg[j]
                 return batch_neg_log_prob(
-                    embed_all[j], dec_params, b, vocab_emb, hp, spec, row_valid
+                    rows, dec_params, b, vocab_emb, hp, spec, row_valid
                 )
 
+            embed_arg = embed[j] if sparse_sgd else embed
             if spec.train_decoder:
                 loss, (g_embed, g_dec) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-                    embed, dec
+                    embed_arg, dec
                 )
                 dec2, d_opt2 = opt_update(
-                    dec, g_dec, d_opt, hp["lr"], hp["opt_code"], active
+                    dec, g_dec, d_opt, hp["lr"], hp["opt_code"], active,
+                    kind=spec.opt_kind,
                 )
             else:
-                loss, g_embed = jax.value_and_grad(loss_fn)(embed, dec)
+                loss, g_embed = jax.value_and_grad(loss_fn)(embed_arg, dec)
                 dec2, d_opt2 = dec, d_opt
-            embed2, e_opt2 = opt_update(
-                embed, g_embed, e_opt, hp["lr"], hp["opt_code"], active
-            )
+            if sparse_sgd:
+                # row-sparse SGD: only the batch rows change (pad rows carry
+                # exactly-zero gradients, so duplicate pad indices are inert)
+                act = jnp.asarray(active, jnp.float32)
+                embed2 = embed.at[j].add(-hp["lr"] * act * g_embed)
+                e_opt2 = e_opt
+            else:
+                embed2, e_opt2 = opt_update(
+                    embed, g_embed, e_opt, hp["lr"], hp["opt_code"], active,
+                    kind=spec.opt_kind,
+                )
             return (embed2, dec2, e_opt2, d_opt2), loss
 
         (embed, dec, e_opt, d_opt), batch_losses = jax.lax.scan(

@@ -41,7 +41,12 @@ class OptState(NamedTuple):
     count: jax.Array  # scalar int32 step counter
 
 
-def init_opt_state(params) -> OptState:
+def init_opt_state(params, kind: str | None = None) -> OptState:
+    """``kind`` None → branchless (moments allocated for the runtime select);
+    "adam" → moments allocated; "sgd" → NO moment buffers (saves the dominant
+    optimizer-state HBM traffic for SGD configs)."""
+    if kind == "sgd":
+        return OptState(m=None, v=None, count=jnp.zeros((), jnp.int32))
     zeros = lambda p: jnp.zeros_like(p)
     return OptState(
         m=jax.tree.map(zeros, params),
@@ -51,7 +56,8 @@ def init_opt_state(params) -> OptState:
 
 
 def opt_update(
-    params, grads, state: OptState, lr, opt_code, active=True
+    params, grads, state: OptState, lr, opt_code, active=True,
+    kind: str | None = None,
 ):
     """One optimizer step.  Returns ``(new_params, new_state)``.
 
@@ -59,24 +65,40 @@ def opt_update(
         params / grads: matching pytrees.
         state: :class:`OptState`.
         lr: scalar learning rate (may be a traced per-config value).
-        opt_code: ``OPT_SGD`` or ``OPT_ADAM`` (may be traced).
+        opt_code: ``OPT_SGD`` or ``OPT_ADAM`` (may be traced; ignored when
+            ``kind`` is given).
         active: scalar bool — when False the step is a no-op (used for
             per-config "done" masking in the vmapped sweep, where every config
             runs the max epoch count but late epochs must not change state).
+        kind: optional STATIC optimizer kind ("sgd" | "adam").  When set, the
+            update rule is baked at trace time — SGD skips moment bookkeeping
+            entirely, Adam skips the select — producing identical numbers to
+            the branchless path with the matching opt_code.
     """
     count = state.count + 1
     lr = jnp.asarray(lr)
-    code = jnp.asarray(opt_code)
     act = jnp.asarray(active)
+
+    if kind == "sgd":
+        new_params = jax.tree.map(
+            lambda p, g: jnp.where(act, p - lr * g, p), params, grads
+        )
+        return new_params, OptState(
+            m=None, v=None, count=jnp.where(act, count, state.count)
+        )
+
     bc1 = 1.0 - jnp.power(_B1, count.astype(jnp.float32))
     bc2 = 1.0 - jnp.power(_B2, count.astype(jnp.float32))
+    code = None if kind == "adam" else jnp.asarray(opt_code)
 
     def leaf(p, g, m, v):
         m2 = _B1 * m + (1.0 - _B1) * g
         v2 = _B2 * v + (1.0 - _B2) * jnp.square(g)
         adam_step = lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + _EPS)
-        sgd_step = lr * g
-        step = jnp.where(code == OPT_ADAM, adam_step, sgd_step)
+        if code is None:
+            step = adam_step
+        else:
+            step = jnp.where(code == OPT_ADAM, adam_step, lr * g)
         p2 = p - step
         return (
             jnp.where(act, p2, p),

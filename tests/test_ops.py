@@ -305,3 +305,62 @@ class TestClosedForm:
         # atol dominated by f32-vs-f64 cancellation in the total_weight sum
         # (q_sigma terms have ~zero mean), not by any semantic difference.
         np.testing.assert_allclose(got, want, rtol=0, atol=5e-3)
+
+
+class TestGaussianSuffStats:
+    def test_exact_equivalence(self, rng):
+        """suff-stats form == direct masked form (quadratic-in-mu identity)."""
+        from mmtpu.ops.gaussian import (
+            gaussian_logpdf_masked,
+            gaussian_logpdf_suffstats,
+            gaussian_suff_stats,
+        )
+
+        B, L, F = 6, 9, 7
+        mu = rng.standard_normal((B, F)).astype(np.float32)
+        sigma = np.exp(rng.standard_normal((B, F)).astype(np.float32) * 0.3)
+        values = rng.standard_normal((B, L, F)).astype(np.float32) * 2
+        mask = (rng.random((B, L, F)) < 0.8).astype(np.float32)
+        want = gaussian_logpdf_masked(
+            jnp.asarray(mu), jnp.asarray(sigma), jnp.asarray(values), jnp.asarray(mask)
+        )
+        s0, s1, s2 = gaussian_suff_stats(jnp.asarray(values), jnp.asarray(mask))
+        got = gaussian_logpdf_suffstats(
+            jnp.asarray(mu), jnp.asarray(sigma), s0, s1, s2
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-3)
+        # gradients agree too (what training actually consumes)
+        import jax as _jax
+
+        g_want = _jax.grad(
+            lambda m: gaussian_logpdf_masked(
+                m, jnp.asarray(sigma), jnp.asarray(values), jnp.asarray(mask)
+            ).sum()
+        )(jnp.asarray(mu))
+        g_got = _jax.grad(
+            lambda m: gaussian_logpdf_suffstats(m, jnp.asarray(sigma), s0, s1, s2).sum()
+        )(jnp.asarray(mu))
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_token_mask_form(self, rng):
+        from mmtpu.ops.gaussian import (
+            gaussian_logpdf_masked,
+            gaussian_logpdf_suffstats,
+            gaussian_suff_stats,
+        )
+
+        B, L, F = 4, 6, 5
+        mu = rng.standard_normal((B, F)).astype(np.float32)
+        sigma = np.exp(rng.standard_normal((B, F)).astype(np.float32) * 0.2)
+        values = rng.standard_normal((B, L, F)).astype(np.float32)
+        mask2d = (rng.random((B, L)) < 0.7).astype(np.float32)  # token mask
+        want = gaussian_logpdf_masked(
+            jnp.asarray(mu), jnp.asarray(sigma), jnp.asarray(values),
+            jnp.asarray(mask2d),
+        )
+        s0, s1, s2 = gaussian_suff_stats(jnp.asarray(values), jnp.asarray(mask2d))
+        got = gaussian_logpdf_suffstats(jnp.asarray(mu), jnp.asarray(sigma), s0, s1, s2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-3)

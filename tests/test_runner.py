@@ -158,3 +158,50 @@ def test_run_experiment_with_pallas_kernel(tmp_path):
                                res_x["final_train_loss"], rtol=1e-4)
     np.testing.assert_allclose(res_p["sentiment"]["after"]["mae"],
                                res_x["sentiment"]["after"]["mae"], rtol=1e-3)
+
+
+def test_suff_stats_path_matches_raw(tmp_path):
+    """The sequence-axis-eliminating sufficient-statistics path must
+    reproduce the raw per-timestep Gaussian computation."""
+    ds = synthesize_dataset(
+        "mosi", n_train=30, n_valid=10, n_test=12, vocab_size=60,
+        embed_dim=16, audio_dim=6, visual_dim=5,
+    )
+    cfg = ExperimentConfig(
+        dataset="mosi", n_epochs=3, n_sentiment_epochs=4, batch_size=8,
+        e2e=True, norm="layer_norm", optimizer="adam", lr=1e-3,
+        config_name="smokestats",
+    )
+    prep_raw = prepare_device_data(ds, pos_embed_dim=2, pos_mode="baked",
+                                   suff_stats=False)
+    prep_st = prepare_device_data(ds, pos_embed_dim=2, pos_mode="baked",
+                                  suff_stats=True)
+    r_raw = run_experiment(cfg, out_root=str(tmp_path / "a"), prep=prep_raw,
+                           verbose=False)
+    r_st = run_experiment(cfg, out_root=str(tmp_path / "b"), prep=prep_st,
+                          verbose=False)
+    np.testing.assert_allclose(r_st["final_train_loss"],
+                               r_raw["final_train_loss"], rtol=1e-3)
+    np.testing.assert_allclose(r_st["sentiment"]["after"]["mae"],
+                               r_raw["sentiment"]["after"]["mae"], rtol=5e-3)
+
+
+def test_suff_stats_sweep_matches_raw():
+    from mmtpu.sweep import run_sweep
+    from tests.test_sweep import _grid4
+
+    ds = synthesize_dataset(
+        "mosi", n_train=24, n_valid=8, n_test=10, vocab_size=50,
+        embed_dim=12, audio_dim=5, visual_dim=4,
+    )
+    prep_raw = prepare_device_data(ds, pos_embed_dim=4, pos_mode="shared",
+                                   pos_max_dim=4, suff_stats=False)
+    prep_st = prepare_device_data(ds, pos_embed_dim=4, pos_mode="shared",
+                                  pos_max_dim=4, suff_stats=True)
+    cfgs = _grid4()[:2]
+    r_raw = run_sweep(cfgs, prep_raw, batch_size=8, verbose=False)
+    r_st = run_sweep(cfgs, prep_st, batch_size=8, verbose=False)
+    np.testing.assert_allclose(r_st.final_train_loss, r_raw.final_train_loss,
+                               rtol=2e-3)
+    np.testing.assert_allclose(r_st.metrics["mae"], r_raw.metrics["mae"],
+                               rtol=5e-3)
