@@ -70,6 +70,7 @@ def main() -> None:
     spec = LatentFitSpec(
         n_epochs_max=n_epochs, batch_size=64, train_decoder=True,
         unimodal=False, word_metric="angular",
+        opt_kind="sgd",  # static kind: sparse embedding updates (production path)
     )
     fit = jax.jit(fit_latents, static_argnums=(6,))
 

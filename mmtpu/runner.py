@@ -215,6 +215,7 @@ def run_experiment(
             unimodal=cfg.unimodal,
             word_metric=cfg.word_sim_metric,
             partition_fn=partition_fn,
+            opt_kind=cfg.optimizer,
         )
         train_embed, decoder, _, train_losses = _fit_e2e(
             k_fit,
@@ -237,6 +238,7 @@ def run_experiment(
             word_metric=cfg.word_sim_metric,
             valid_every=80 if validation_curve else 0,  # valid_niter*8
             partition_fn=partition_fn,
+            opt_kind=cfg.optimizer,
         )
         valid_curve = None
         if validation_curve:
@@ -271,6 +273,7 @@ def run_experiment(
         word_metric=cfg.word_sim_metric,
         shuffle=False,
         partition_fn=partition_fn,
+        opt_kind=cfg.optimizer,
     )
     valid_embed, _, valid_losses = _fit_latents(
         k_val, jnp.asarray(prep.sif_init["valid"]), decoder,
