@@ -10,7 +10,7 @@ Baseline: the reference implementation driven unmodified on CPU measures
 19.7 utt/s on the identical workload (BASELINE.md) — the torch reference has
 no TPU path, so CPU is its best available number in this environment.
 
-Env knobs: MMTPU_BENCH_EPOCHS (default 5), MMTPU_BENCH_SWEEP=1 additionally
+Env knobs: MMTPU_BENCH_EPOCHS (default 100), MMTPU_BENCH_SWEEP=1 additionally
 reports an in-process multi-config sweep rate to stderr.
 """
 

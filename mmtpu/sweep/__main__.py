@@ -5,7 +5,7 @@ Replaces the reference's 512 serial ``simplesif.py`` invocations
 
     python -m mmtpu.sweep mosi                      # full 512-config grid
     python -m mmtpu.sweep mosi --configs_dir configs/multimodal_search
-    python -m mmtpu.sweep mosi --limit 100 --chunk_size 64
+    python -m mmtpu.sweep mosi --limit 100 --chunk_size 32
     python -m mmtpu.sweep mosi --resume_dir sweep_ckpt   # crash-resumable
 
 Writes ``results/<name>.csv`` (compatible with scripts/make_result_table.py
@@ -31,7 +31,8 @@ def main(argv=None) -> int:
                              "generate the reference grid in memory")
     parser.add_argument("--limit", type=int, help="run only the first N configs")
     parser.add_argument("--chunk_size", type=int,
-                        help="configs per compiled program (bounds HBM)")
+                        help="configs per compiled program (bounds HBM; keep "
+                             "<=32 on relay-tunneled TPUs — see CLAUDE.md)")
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--unimodal", action="store_true")
     parser.add_argument("--emotion", choices=["happy", "angry", "neutral", "sad"])

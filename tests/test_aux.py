@@ -228,14 +228,15 @@ class TestSweepResume:
         r1 = run_sweep(cfgs, prep, batch_size=8, chunk_size=2, verbose=False,
                        checkpoint_dir=ck)
         state = json.load(open(os.path.join(ck, "sweep_state.json")))
+        # _grid4 mixes sgd/adam → one bucket-scoped chunk per optimizer
         assert len(state["chunks"]) == 2
         # resume: all chunks complete → instant, same results
         r2 = run_sweep(cfgs, prep, batch_size=8, chunk_size=2, verbose=False,
                        checkpoint_dir=ck)
         np.testing.assert_allclose(r1.final_train_loss, r2.final_train_loss)
         np.testing.assert_allclose(r1.metrics["mae"], r2.metrics["mae"])
-        # partial resume: drop the second chunk's artifacts
-        state["chunks"] = ["0"]
+        # partial resume: mark only the first chunk complete
+        state["chunks"] = state["chunks"][:1]
         json.dump(state, open(os.path.join(ck, "sweep_state.json"), "w"))
         r3 = run_sweep(cfgs, prep, batch_size=8, chunk_size=2, verbose=False,
                        checkpoint_dir=ck)
