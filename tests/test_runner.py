@@ -205,3 +205,29 @@ def test_suff_stats_sweep_matches_raw():
                                rtol=2e-3)
     np.testing.assert_allclose(r_st.metrics["mae"], r_raw.metrics["mae"],
                                rtol=5e-3)
+
+
+def test_closed_form_server(tmp_path):
+    """Serving wrapper: padding/bucketing, warmup, sentiment chaining."""
+    from mmtpu.models.decoder import init_decoder
+    from mmtpu.models.sentiment import init_sentiment
+    from mmtpu.serve import ClosedFormServer
+
+    import jax
+
+    prep = _tiny_prep(pos=0, suff_stats=False)
+    dec = init_decoder(jax.random.key(0), 16, 6, 5, unimodal=False)
+    senti = init_sentiment(jax.random.key(1), 16, 8, 1)
+    server = ClosedFormServer(dec, batch_sizes=(4, 16), sentiment_params=senti)
+    te = prep.splits["test"]
+    req = {k: np.asarray(te[k]) for k in
+           ("text", "text_weights", "text_gauss", "audio", "visual")}
+    server.warmup({k: v[:2] for k, v in req.items()})
+    lat, pred = server(req)  # 12 rows → padded to 16
+    assert lat.shape == (12, 16)
+    assert pred.shape == (12,)
+    np.testing.assert_allclose(np.linalg.norm(lat, axis=-1), 1.0, atol=1e-4)
+    # results must be padding-invariant: a 3-row request (pads to 4) equals
+    # the first 3 rows of the full request
+    lat3, _ = server({k: v[:3] for k, v in req.items()})
+    np.testing.assert_allclose(lat3, lat[:3], atol=1e-5)
