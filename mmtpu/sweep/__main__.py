@@ -42,6 +42,10 @@ def main(argv=None) -> int:
     parser.add_argument("--resume_dir", help="chunk checkpoint dir (resume here)")
     parser.add_argument("--mesh", action="store_true",
                         help="shard the config axis across all devices")
+    parser.add_argument("--top_k_artifacts", type=int, default=0,
+                        help="after the sweep, re-run the top-K configs "
+                             "through the full runner to persist reference-"
+                             "layout artifacts (model_saves/...)")
     parser.add_argument("--n_runs", type=int, default=1,
                         help="repetitions per config with independent seeds")
     parser.add_argument("--unroll", type=int, default=1,
@@ -135,6 +139,42 @@ def main(argv=None) -> int:
               indent=2)
     print(f"[sweep] done: {summary}")
     print(f"[sweep] wrote {csv_path}")
+
+    if args.top_k_artifacts > 0:
+        from mmtpu.config import ExperimentConfig
+        from mmtpu.runner import run_experiment
+
+        # rank by the dataset's primary metric
+        if args.dataset == "mosi":
+            key, reverse = "mae", False
+        elif args.dataset == "iemocap":
+            key, reverse = "accuracy", True
+        else:  # pom: mean per-trait correlation
+            key, reverse = "corr", True
+
+        def score(rec):
+            v = rec.get(key)
+            if isinstance(v, list):
+                v = sum(v) / len(v)
+            if v is None or v != v:  # NaN → worst
+                return float("inf") if not reverse else float("-inf")
+            return v
+
+        ranked = sorted(records, key=score, reverse=reverse)
+        top = ranked[: args.top_k_artifacts]
+        print(f"[sweep] persisting artifacts for top-{len(top)} configs by {key}")
+        cfg_by_num2 = {c.get("config_num", i): c for i, c in enumerate(configs)}
+        for rec in top:
+            raw = dict(cfg_by_num2[rec["config_num"]])
+            raw.pop("_run_idx", None)
+            cfg = ExperimentConfig.from_dict(
+                raw, dataset=args.dataset, batch_size=args.batch_size,
+                unimodal=args.unimodal or None, emotion=args.emotion,
+                config_name=args.name, seed=args.seed,
+            )
+            run_experiment(cfg, data_dir=args.data_dir, run_idx=rec["run"],
+                           verbose=False)
+            print(f"[sweep]   config {rec['config_num']} run {rec['run']} saved")
     return 0
 
 

@@ -287,3 +287,32 @@ class TestCheckpointer:
         # restore a specific older step
         got5, _, _ = ck.restore(jax.tree.map(jnp.zeros_like, tree), step=5)
         np.testing.assert_allclose(np.asarray(got5["b"]["c"]), 2.0)
+
+
+class TestSweepTopK:
+    def test_top_k_artifacts(self, tmp_path, monkeypatch):
+        import mmtpu.data.registry as reg
+        from mmtpu.sweep import __main__ as cli
+
+        orig = reg.synthesize_dataset
+        monkeypatch.setattr(
+            reg, "synthesize_dataset",
+            lambda name, seed=0: orig(
+                name, n_train=24, n_valid=8, n_test=10, vocab_size=50,
+                embed_dim=12, audio_dim=5, visual_dim=4, seed=seed,
+            ),
+        )
+        monkeypatch.chdir(tmp_path)
+        rc = cli.main([
+            "mosi", "--limit", "3", "--chunk_size", "3", "--batch_size", "8",
+            "--data_dir", str(tmp_path / "nodata"),
+            "--out", str(tmp_path / "results"), "--name", "topk",
+            "--top_k_artifacts", "1",
+        ])
+        assert rc == 0
+        import glob
+
+        saved = glob.glob(str(tmp_path / "model_saves" / "topk" /
+                              "config_*_run_0" / "post" /
+                              "test_results_after.json"))
+        assert len(saved) == 1
