@@ -7,7 +7,8 @@ device-side metrics — all under a leading config axis, sharded over the
 
 Wall-clock model: the reference runs 512 serial processes, each re-loading
 data and re-tracing the same math; mmtpu compiles once per chunk shape and
-reuses the executable for every chunk (``chunk_size`` bounds HBM).
+reuses the executable for every chunk of the same optimizer bucket
+(``chunk_size`` bounds HBM; buckets bake the optimizer as a static kind).
 """
 
 from __future__ import annotations
