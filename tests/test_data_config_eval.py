@@ -253,3 +253,84 @@ class TestMetrics:
                 float(f1_score(np.round(pred[:, i]), np.round(y[:, i]),
                                average="weighted")), 5)
             assert abs(got["f_score"][i] - want) < 1e-6
+
+
+class TestRealDataLoaders:
+    """Exercise the real-file ingestion paths with fixture files written in
+    the reference's exact layout (utils.py:20-128, sif.py:34-76)."""
+
+    def _write_mosi(self, root, rng):
+        import h5py
+        import pickle
+
+        (root / "mosi").mkdir(parents=True)
+        (root / "data").mkdir()
+        word2ix = {f"w{i}": i for i in range(40)}
+        pickle.dump(word2ix, open(root / "mosi/word2ix_300_mosi.pkl", "wb"))
+        np.save(root / "mosi/glove_300_mosi.npy",
+                rng.standard_normal((40, 8)).astype(np.float32))
+        np.save(root / "word_weights.npy", rng.random(40).astype(np.float32))
+        with h5py.File(root / "data/mosi_data.h5", "w") as f:
+            for split, n in (("train", 6), ("valid", 3), ("test", 4)):
+                g = f.create_group(split)
+                g["facet"] = rng.standard_normal((n, 5, 4)).astype(np.float32)
+                g["covarep"] = rng.standard_normal((n, 5, 3)).astype(np.float32)
+                g["text"] = rng.integers(0, 40, (n, 5)).astype(np.int64)
+                g["lengths"] = np.full(n, 5, np.int64)
+                g["label"] = rng.standard_normal(n).astype(np.float32)
+                g["id"] = np.arange(n, dtype=np.int64)
+
+    def test_load_mosi_real(self, tmp_path, rng):
+        from mmtpu.data.registry import load_dataset
+
+        self._write_mosi(tmp_path, rng)
+        ds = load_dataset("mosi", data_dir=str(tmp_path), require_real=True)
+        assert ds["synthetic"] is False
+        assert ds["word_embeddings"].shape == (40, 8)
+        assert ds["splits"]["train"]["text"].shape == (6, 5)
+        assert "w3" in ds["word2ix"]
+        # it must flow through prepare + a fit
+        from mmtpu.data.pipeline import prepare_device_data
+
+        prep = prepare_device_data(ds, pos_embed_dim=2, pos_mode="baked")
+        assert prep.sif_init["train"].shape == (6, 8)
+
+    def test_load_pom_real(self, tmp_path, rng):
+        import h5py
+        import json as _json
+
+        from mmtpu.data.registry import load_dataset
+
+        (tmp_path / "pom").mkdir(parents=True)
+        (tmp_path / "data").mkdir()
+        _json.dump({f"w{i}": i for i in range(30)},
+                   open(tmp_path / "pom/glove_mappings.pom.json", "w"))
+        np.save(tmp_path / "pom/glove.pom.npy",
+                rng.standard_normal((30, 6)).astype(np.float32))
+        np.save(tmp_path / "pom/pom_word_weights.npy",
+                rng.random(30).astype(np.float32))
+        with h5py.File(tmp_path / "data/pom_data.h5", "w") as f:
+            for split, n in (("train", 5), ("valid", 2), ("test", 3)):
+                g = f.create_group(split)
+                g["facet"] = rng.standard_normal((n, 4, 3)).astype(np.float32)
+                g["covarep"] = rng.standard_normal((n, 4, 2)).astype(np.float32)
+                g["text"] = rng.standard_normal((n, 4, 6)).astype(np.float32)
+                g["label"] = rng.standard_normal((n, 17)).astype(np.float32)
+        for split, n in (("train", 5), ("valid", 2), ("test", 3)):
+            np.save(tmp_path / f"pom/pom_{split}_ids.npy",
+                    rng.integers(0, 30, (n, 9)).astype(np.int64))
+        ds = load_dataset("pom", data_dir=str(tmp_path), require_real=True)
+        assert ds["synthetic"] is False
+        assert ds["splits"]["test"]["text_id"].shape == (3, 9)
+
+    def test_word_weights_from_freq_file(self, tmp_path):
+        from mmtpu.data.registry import compute_word_weights_from_freq_file
+
+        (tmp_path / "freq.txt").write_text("the 1000\ncat 10\nmalformed\n")
+        w = compute_word_weights_from_freq_file(
+            str(tmp_path / "freq.txt"), {"the": 0, "cat": 1, "dog": 2}, a=1e-3
+        )
+        # a / (a + p): p(the)=1000/1010, p(cat)=10/1010; unknown → 1.0
+        np.testing.assert_allclose(w[0], 1e-3 / (1e-3 + 1000 / 1010), rtol=1e-9)
+        np.testing.assert_allclose(w[1], 1e-3 / (1e-3 + 10 / 1010), rtol=1e-9)
+        assert w[2] == 1.0
