@@ -223,7 +223,9 @@ def run_sweep(
         raise ValueError("prep.pos_table narrower than the widest config")
 
     k_total = len(configs)
-    chunk = chunk_size or k_total
+    # default chunk: bounded — very wide single dispatches exceed HBM and/or
+    # relay-tunneled backends' per-dispatch limits (CLAUDE.md)
+    chunk = chunk_size or min(k_total, 32)
 
     # device placement (shared tensors once, replicated under a mesh)
     from mmtpu.parallel.mesh import config_sharding, replicated
@@ -368,20 +370,36 @@ def run_sweep(
             pm = shard_cfg(jnp.asarray(pm_np))
             dtr["pos_mask"] = dva["pos_mask"] = dte["pos_mask"] = pm
 
-        if kind not in sweep_fns:
-            sweep_fns[kind] = build_sweep_fn(
-                bucket_statics, labels, vocab, prep.name,
-                return_embeddings=return_embeddings,
+        try:
+            if kind not in sweep_fns:
+                sweep_fns[kind] = build_sweep_fn(
+                    bucket_statics, labels, vocab, prep.name,
+                    return_embeddings=return_embeddings,
+                )
+                tc = time.time()
+                out = sweep_fns[kind](rngs, init_embeds, dec_stack, senti_stack,
+                                      hp, s_hp, dtr, dva, dte)
+                jax.block_until_ready(out["final_train_loss"])
+                compile_time += time.time() - tc
+            else:
+                out = sweep_fns[kind](rngs, init_embeds, dec_stack, senti_stack,
+                                      hp, s_hp, dtr, dva, dte)
+                jax.block_until_ready(out["final_train_loss"])
+        except jax.errors.JaxRuntimeError:
+            # a too-wide dispatch (HBM or relay-timeout) — retry the whole
+            # sweep at half the chunk width (checkpointed chunks of the old
+            # width are abandoned; they key on chunk size)
+            if chunk <= 2:
+                raise
+            if verbose:
+                print(f"[sweep] chunk width {chunk} failed on device — "
+                      f"retrying the sweep at width {chunk // 2}")
+            return run_sweep(
+                configs, prep, batch_size=batch_size, unimodal=unimodal,
+                seed=seed, chunk_size=chunk // 2, mesh=mesh,
+                return_embeddings=return_embeddings, verbose=verbose,
+                checkpoint_dir=checkpoint_dir, unroll=unroll,
             )
-            tc = time.time()
-            out = sweep_fns[kind](rngs, init_embeds, dec_stack, senti_stack,
-                                  hp, s_hp, dtr, dva, dte)
-            jax.block_until_ready(out["final_train_loss"])
-            compile_time += time.time() - tc
-        else:
-            out = sweep_fns[kind](rngs, init_embeds, dec_stack, senti_stack,
-                                  hp, s_hp, dtr, dva, dte)
-            jax.block_until_ready(out["final_train_loss"])
 
         chunk_loss = np.asarray(out["final_train_loss"])
         chunk_metrics = {mk: np.asarray(mv) for mk, mv in out["metrics"].items()}

@@ -217,3 +217,36 @@ class TestMultiRun:
         assert res.final_train_loss[0] != res.final_train_loss[1]
         recs = res.to_records()
         assert recs[1]["run"] == 1
+
+
+class TestChunkFallback:
+    def test_failed_wide_dispatch_retries_narrower(self, monkeypatch):
+        """A device failure at a wide chunk retries the sweep at half width."""
+        from mmtpu.sweep import runner as R
+
+        prep = _tiny_prep()
+        cfgs = _grid4()
+        orig_build = R.build_sweep_fn
+        calls = {"n": 0}
+
+        # patch build to raise on the first call only when 4 configs wide
+        def build_with_width(statics, *a, **kw):
+            fn = orig_build(statics, *a, **kw)
+
+            def wrapped(rngs, *args, **kwargs):
+                calls["n"] += 1
+                if calls["n"] == 1 and rngs.shape[0] == 4:
+                    raise jax.errors.JaxRuntimeError("UNAVAILABLE: synthetic")
+                return fn(rngs, *args, **kwargs)
+
+            return wrapped
+
+        monkeypatch.setattr(R, "build_sweep_fn", build_with_width)
+        res = R.run_sweep(cfgs, prep, batch_size=8, chunk_size=4, verbose=False)
+        assert res.n_configs == 4
+        assert np.isfinite(res.final_train_loss).all()
+        # reference run without failure injection matches
+        monkeypatch.setattr(R, "build_sweep_fn", orig_build)
+        ref = R.run_sweep(cfgs, prep, batch_size=8, chunk_size=2, verbose=False)
+        np.testing.assert_allclose(res.final_train_loss, ref.final_train_loss,
+                                   rtol=1e-5)
