@@ -47,6 +47,7 @@ class SweepStatics:
     unroll: int = 1  # scan unroll factor (see mmtpu.train.latents)
     # static optimizer kind for a homogeneous bucket (None = branchless mix)
     opt_kind: str | None = None
+    use_pallas: bool = False  # fused Pallas angular-partition kernel
 
 
 def statics_from_configs(
