@@ -42,6 +42,9 @@ def main(argv=None) -> int:
     parser.add_argument("--resume_dir", help="chunk checkpoint dir (resume here)")
     parser.add_argument("--mesh", action="store_true",
                         help="shard the config axis across all devices")
+    parser.add_argument("--pallas", action="store_true",
+                        help="fused Pallas angular-partition kernel (faster "
+                             "execution, slower compile — see run_sweep doc)")
     parser.add_argument("--top_k_artifacts", type=int, default=0,
                         help="after the sweep, re-run the top-K configs "
                              "through the full runner to persist reference-"
@@ -107,6 +110,7 @@ def main(argv=None) -> int:
         checkpoint_dir=args.resume_dir,
         unroll=args.unroll,
         n_runs=args.n_runs,
+        use_pallas=args.pallas or None,
     )
 
     os.makedirs(args.out, exist_ok=True)

@@ -213,9 +213,10 @@ def run_sweep(
         n_runs: repetitions per config with independent seeds (the
             reference's --n_runs, simplesif.py:193); expands the config list
             as (config, run) pairs along the same vmap axis.
-        use_pallas: fused Pallas kernel for the angular partition (measured
-            ~14% end-to-end on the training loop).  None = auto: on for the
-            TPU backend, off elsewhere (interpret mode is slow on CPU).
+        use_pallas: fused Pallas kernel for the angular partition —
+            ~10-15% faster execution but ~3x Mosaic compile time for the big
+            scan programs, so default off; worth it for long sweeps with a
+            warm compilation cache.
     """
     import dataclasses as _dc
 
@@ -227,7 +228,10 @@ def run_sweep(
     if unroll != 1:
         statics = _dc.replace(statics, unroll=unroll)
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # measured: the fused kernel buys ~10-15% execution but ~3x Mosaic
+        # compile time inside the big scan programs — a net loss for cold
+        # runs, so it stays opt-in
+        use_pallas = False
     if use_pallas and statics.word_metric == "angular":
         statics = _dc.replace(statics, use_pallas=True)
     if statics.pos_max > 0 and prep.pos_table is None:
