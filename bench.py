@@ -23,6 +23,44 @@ import numpy as np
 
 REFERENCE_CPU_UTT_PER_S = 19.7  # BASELINE.md, measured 2026-08-16
 
+# peak dense-matmul throughput per chip (bf16 FLOP/s), by device_kind substring
+_PEAK_FLOPS = {
+    "v4": 275e12,
+    "v5 lite": 197e12,
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v6 lite": 918e12,
+    "v6e": 918e12,
+    "cpu": 1e11,  # nominal, for the forced-CPU test path
+}
+
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for k, v in _PEAK_FLOPS.items():
+        if k in kind:
+            return v
+    return 197e12  # default: v5e
+
+
+def model_flops_per_step(B, V, D, L, A, Vi, unimodal=False) -> float:
+    """Matmul-only FLOPs of one MMB training step (fwd + bwd) — the model
+    FLOP count used for MFU (VPU/elementwise work excluded, so this is a
+    lower bound; the roofline discussion lives in docs/DESIGN.md).
+
+    Terms:
+    - angular partition Z_s: (B,D)x(D,V) fwd + the same-shape bwd wrt latents
+      (reference losses.py:76-78 — the dominant term);
+    - per-token scores: (B,L,D)·(B,D) fwd + bwd;
+    - decoder heads: 2 linears (mu, log_sigma) per head, fwd + 2x bwd
+      (grads wrt both input and weights).
+    """
+    heads_f = (A + Vi) if unimodal else (3 * D + 4 * A + 4 * Vi)
+    partition = 2 * 2 * B * V * D
+    token = 2 * 2 * B * L * D
+    decoder = 3 * 2 * B * D * (2 * heads_f)
+    return float(partition + token + decoder)
+
 
 def main() -> None:
     import jax
@@ -90,10 +128,25 @@ def main() -> None:
     assert np.isfinite(losses).all(), "bench trajectory went non-finite"
     assert np.isfinite(embed_out).all()
 
+    # ---- MFU: model (matmul-only) FLOPs vs chip peak ----
+    B = 64
+    n_batches = -(-n_train // B)  # padded static batches — every step is full
+    step_flops = model_flops_per_step(
+        B, prep.vocab_embeddings.shape[0], prep.embed_dim, 20,
+        prep.audio_dim, prep.visual_dim,
+    )
+    total_flops = step_flops * n_batches * n_epochs
+    peak = _peak_flops(jax.devices()[0])
+    mfu = total_flops / dt / peak
+    achieved_tflops = total_flops / dt / 1e12
+
     print(
-        f"[bench] backend={jax.default_backend()} warm={warm:.2f}s "
+        f"[bench] backend={jax.default_backend()} "
+        f"({jax.devices()[0].device_kind}) warm={warm:.2f}s "
         f"steady={dt:.3f}s for {n_epochs} epochs "
-        f"({utt_per_s:.0f} utt/s; reference CPU {REFERENCE_CPU_UTT_PER_S})",
+        f"({utt_per_s:.0f} utt/s; reference CPU {REFERENCE_CPU_UTT_PER_S}); "
+        f"{achieved_tflops:.1f} TFLOP/s model = {mfu * 100:.1f}% of "
+        f"{peak / 1e12:.0f} TFLOP/s peak",
         file=sys.stderr,
     )
 
@@ -105,6 +158,8 @@ def main() -> None:
         "value": round(utt_per_s, 1),
         "unit": "utterances/sec",
         "vs_baseline": round(utt_per_s / REFERENCE_CPU_UTT_PER_S, 2),
+        "mfu_pct": round(mfu * 100, 2),
+        "model_tflops_per_s": round(achieved_tflops, 2),
     }))
 
 
@@ -121,7 +176,7 @@ def _sweep_rate(prep, file=sys.stderr) -> None:
         "mosi", n_train=1284, n_valid=229, n_test=686,
         vocab_size=3016, embed_dim=300, audio_dim=74, visual_dim=47,
     )
-    prep = prepare_device_data(ds, pos_embed_dim=4, pos_mode="shared", pos_max_dim=4)
+    prep = prepare_device_data(ds, pos_mode="shared", pos_dims=(2, 4))
     cfgs = make_grid()[:16]
     res = run_sweep(cfgs, prep, batch_size=64, chunk_size=16, verbose=False)
     rate = res.n_configs / res.wall_time_s * 3600

@@ -48,10 +48,11 @@ def main() -> None:
     # ---- 3. serving ----
     dec = init_decoder(jax.random.key(0), prep.embed_dim,
                        prep.audio_dim, prep.visual_dim, unimodal=False)
-    server = ClosedFormServer(dec, batch_sizes=(64,))
+    server = ClosedFormServer(dec, batch_sizes=(64,),
+                              word_embeddings=prep.vocab_embeddings)
     te = prep.splits["test"]
     req = {k: np.asarray(te[k])[:32] for k in
-           ("text", "text_weights", "text_gauss", "audio", "visual")}
+           ("text_ids", "text_weights", "text_gauss", "audio", "visual")}
     latents, _ = server(req)
     print(f"served {latents.shape[0]} utterances → latents {latents.shape}")
 

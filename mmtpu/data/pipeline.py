@@ -12,9 +12,13 @@ Steps mirrored:
 Two positional-embedding modes:
 - ``pos_mode="baked"``   — channels appended to the stored arrays, reference
   style (choose ``pos_bug_parity`` for the utils.py:146-148 indexing bug);
-- ``pos_mode="shared"``  — arrays keep base features; a shared ``(L, P_max)``
-  sinusoidal table + per-config channel mask ride along, letting a vmapped
-  sweep serve every ``pos_embed_dim`` from ONE copy of the data.
+- ``pos_mode="shared"``  — arrays keep base features; a shared sinusoidal
+  table + per-config channel mask ride along, letting a vmapped sweep serve
+  every ``pos_embed_dim`` from ONE copy of the data.  The table is a
+  concatenation of one block per *unique* dim in ``pos_dims`` (each block is
+  the exact standalone ``positional_encoding(L, p)``), and a config's mask
+  selects its own block — so masked equivalence to a standalone run is exact
+  for ANY dim set, not just dims sharing leading channel frequencies.
 """
 
 from __future__ import annotations
@@ -99,7 +103,8 @@ class PreparedData:
     audio_dim: int  # incl. baked positional channels, if any
     visual_dim: int
     text_gauss_dim: int
-    pos_table: Optional[np.ndarray] = None  # (L, P_max) in "shared" mode
+    pos_table: Optional[np.ndarray] = None  # (L, sum(pos_dims)) in "shared" mode
+    pos_dims: Optional[tuple] = None  # sorted unique block widths of pos_table
     synthetic: bool = False
 
 
@@ -118,6 +123,7 @@ def prepare_device_data(
     pos_embed_dim: int = 0,
     pos_mode: str = "baked",
     pos_max_dim: Optional[int] = None,
+    pos_dims: Optional[tuple] = None,
     pos_bug_parity: bool = False,
     normalize_parity: bool = True,
     max_text_len: Optional[int] = None,
@@ -143,11 +149,20 @@ def prepare_device_data(
     sif_init: Dict[str, np.ndarray] = {}
 
     pos_table = None
-    if pos_embed_dim > 0 and pos_mode == "shared":
-        p_max = pos_max_dim or pos_embed_dim
+    pos_blocks: Optional[tuple] = None
+    if pos_mode == "shared" and (pos_embed_dim > 0 or pos_dims):
+        # one exact standalone encoding block per unique dim (see module
+        # docstring) — ``pos_dims`` is what a sweep passes; the legacy
+        # single-dim path degenerates to one block
+        if pos_dims:
+            pos_blocks = tuple(sorted({int(p) for p in pos_dims if p > 0}))
+        else:
+            pos_blocks = (int(pos_max_dim or pos_embed_dim),)
         some_split = next(iter(dataset["splits"].values()))
         seq_len = some_split["covarep"].shape[1]
-        pos_table = _np_positional_encoding(seq_len, p_max)
+        pos_table = np.concatenate(
+            [_np_positional_encoding(seq_len, p) for p in pos_blocks], axis=-1
+        )
 
     a_dim = v_dim = tg_dim = None
     for split, arrays in dataset["splits"].items():
@@ -162,7 +177,7 @@ def prepare_device_data(
         token_mask = text_token_mask(ids)
         w_tok = _np_seq_weights(ids, ww)
         sif_init[split] = _np_sif_embedding(we, ids, w_tok)
-        text_vecs = we[np.where(ids >= 0, ids, 0)]
+        ids_clamped = np.where(ids >= 0, ids, 0).astype(np.int32)
 
         if pos_embed_dim > 0 and pos_mode == "baked":
             covarep = _np_add_positional(covarep, pos_embed_dim, pos_bug_parity)
@@ -172,8 +187,13 @@ def prepare_device_data(
             masks["covarep"] = np.concatenate([masks["covarep"], ext], -1)
             masks["facet"] = np.concatenate([masks["facet"], ext], -1)
 
+        # the word-likelihood stream is stored as token IDS — per-token word
+        # vectors are gathered from the vocab table inside the training step
+        # (see mmtpu.train.latents._word_logprob), never materialized as an
+        # (N, L, D) array; at POM's real 1357-token rows that array would be
+        # ~2 GB of HBM for ~5 MB of ids
         d: Dict[str, np.ndarray] = {
-            "text": text_vecs,
+            "text_ids": ids_clamped,
             "text_weights": w_tok,
             "text_mask": token_mask,
             "audio": covarep.astype(np.float32),
@@ -182,7 +202,7 @@ def prepare_device_data(
             "visual_mask": masks["facet"].astype(np.float32),
         }
         if aligned is None:  # MOSI: gaussian text stream == word-prob stream
-            d["text_gauss"] = d["text"]
+            d["text_gauss"] = we[ids_clamped]
             d["text_gauss_mask"] = d["text_mask"]
         else:
             d["text_gauss"] = aligned
@@ -232,5 +252,6 @@ def prepare_device_data(
         visual_dim=int(v_dim),
         text_gauss_dim=int(tg_dim),
         pos_table=pos_table,
+        pos_dims=pos_blocks,
         synthetic=bool(dataset.get("synthetic", False)),
     )

@@ -110,6 +110,12 @@ def _load_mosi(root: str) -> Dict:
         ww = compute_word_weights_from_freq_file(
             os.path.join(root, "SIF/auxiliary_data/enwiki_vocab_min200.txt"), word2ix
         )
+        # cache write-back so the cold path runs once (sif.py:54-76 semantics,
+        # minus its word2ix NameError); best-effort — a read-only data_dir is fine
+        try:
+            np.save(ww_path, ww)
+        except OSError:
+            pass
     return {
         "name": "mosi", "word2ix": word2ix, "word_embeddings": we,
         "word_weights": ww, "splits": splits, "synthetic": False,

@@ -44,6 +44,7 @@ def synthesize_dataset(
     audio_dim: int = 74,
     visual_dim: int = 47,
     seed: int = 0,
+    text_len: int = 0,
 ) -> Dict:
     """Return ``{word_embeddings, word_weights, splits: {train/valid/test}}``
     with reference-shaped arrays.
@@ -51,6 +52,11 @@ def synthesize_dataset(
     The latent structure is planted: a hidden per-utterance vector drives the
     modality means and the label, so the generative model genuinely has signal
     to recover (useful for end-to-end smoke accuracy checks).
+
+    ``text_len`` (POM/IEMOCAP only) sets the length of the ``text_id`` token
+    rows independently of ``seq_len`` — the real POM blobs carry rows up to
+    1357 tokens (pom_test_ids.npy is (203, 1357)) while the aligned-embedding
+    stream follows the 20-step video frames; 0 = use ``seq_len``.
     """
     rng = np.random.default_rng(seed)
     word_embeddings = rng.standard_normal((vocab_size, embed_dim)).astype(np.float32)
@@ -75,20 +81,23 @@ def synthesize_dataset(
                 "label": label, "lengths": lengths,
                 "id": np.arange(n, dtype=np.int64),
             }
-        elif name == "pom":
-            w_y = rng.standard_normal((8, 17)).astype(np.float32) * 0.5
-            label = (hidden @ w_y + 4.0).astype(np.float32)  # traits ~[1, 7]
+        elif name in ("pom", "iemocap"):
+            # long transcript token rows vs 20-step aligned embeddings
+            if text_len and text_len != seq_len:
+                text_ids, _ = _tokens(
+                    rng, n, text_len, vocab_size, mean_len=text_len * 0.5
+                )
+            else:
+                text_ids = ids
             aligned = word_embeddings[ids] * (ids != 0)[:, :, None]
+            if name == "pom":
+                w_y = rng.standard_normal((8, 17)).astype(np.float32) * 0.5
+                label = (hidden @ w_y + 4.0).astype(np.float32)  # traits ~[1, 7]
+            else:
+                cls = (hidden[:, 0] > 0).astype(np.int64)
+                label = np.eye(2, dtype=np.float32)[cls]
             splits[split] = {
-                "text": aligned.astype(np.float32), "text_id": ids,
-                "covarep": covarep, "facet": facet, "label": label,
-            }
-        elif name == "iemocap":
-            cls = (hidden[:, 0] > 0).astype(np.int64)
-            label = np.eye(2, dtype=np.float32)[cls]
-            aligned = word_embeddings[ids] * (ids != 0)[:, :, None]
-            splits[split] = {
-                "text": aligned.astype(np.float32), "text_id": ids,
+                "text": aligned.astype(np.float32), "text_id": text_ids,
                 "covarep": covarep, "facet": facet, "label": label,
             }
         else:

@@ -2,7 +2,14 @@
 
 The reference has artifact saving but NO mid-run resume (SURVEY.md §5) — a
 killed run restarts from scratch.  mmtpu adds atomic pytree checkpoints with
-a step counter, so a sweep interrupted at epoch k resumes at epoch k.
+a step counter.  Two consumers:
+
+- ``mmtpu.train.chunked.fit_latents_checkpointed`` saves the full fit carry
+  (embeddings, decoder, optimizer moments, rng) at epoch-segment boundaries,
+  so a killed FIT resumes at the last completed segment;
+- ``mmtpu.sweep.run_sweep(checkpoint_dir=...)`` persists per-chunk results,
+  so a killed SWEEP resumes at the first incomplete chunk (fingerprinted
+  against the sweep's inputs).
 """
 
 from __future__ import annotations
@@ -15,11 +22,25 @@ from typing import Optional
 import numpy as np
 
 
+def _is_key(x) -> bool:
+    import jax
+
+    return (
+        hasattr(x, "dtype")
+        and jax.dtypes.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key)
+    )
+
+
 def save_pytree(path: str, tree) -> None:
-    """Atomically save an arbitrary pytree of arrays as .npz + structure json."""
+    """Atomically save an arbitrary pytree of arrays as .npz + structure json.
+    Typed PRNG key arrays are serialized via ``jax.random.key_data`` (the fit
+    carry checkpointed by ``mmtpu.train.chunked`` carries the scan rng)."""
     import jax
 
     leaves, treedef = jax.tree.flatten(tree)
+    leaves = [
+        jax.random.key_data(l) if _is_key(l) else l for l in leaves
+    ]
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".tmp")
     os.close(fd)
@@ -35,14 +56,20 @@ def save_pytree(path: str, tree) -> None:
 
 
 def load_pytree(path: str, like):
-    """Load arrays saved by :func:`save_pytree` into the structure of ``like``."""
+    """Load arrays saved by :func:`save_pytree` into the structure of ``like``
+    (leaves that are typed PRNG keys in ``like`` are re-wrapped)."""
     import jax
 
     data = np.load(path)
     leaves, treedef = jax.tree.flatten(like)
-    return jax.tree.unflatten(
-        treedef, [data[f"leaf{i}"] for i in range(len(leaves))]
-    )
+    out = []
+    for i, ref in enumerate(leaves):
+        raw = data[f"leaf{i}"]
+        if _is_key(ref):
+            impl = jax.random.key_impl(ref)
+            raw = jax.random.wrap_key_data(raw, impl=impl)
+        out.append(raw)
+    return jax.tree.unflatten(treedef, out)
 
 
 class Checkpointer:

@@ -4,9 +4,11 @@ The reference has no parallelism of any kind (SURVEY.md §2 row 23).  mmtpu's
 natural parallel axes (SURVEY.md §5):
 - "config": the hyperparameter-sweep axis — pure data parallel, no
   cross-config communication; shards the vmapped sweep across chips over ICI.
-- "data":   batch axis — gradient psum if one config outgrows a chip.
-- vocab sharding for the word-likelihood partition term is available via
-  ``mmtpu.parallel.collectives.sharded_angular_partition``.
+- "data":   batch axis — per-step rows split across devices with gradient
+  psum, integrated into the training engine via
+  ``mmtpu.parallel.fit.fit_latents_mesh``.
+- "vocab":  the word-likelihood partition term's vocabulary axis — standalone
+  op ``sharded_angular_partition`` or integrated via ``fit_latents_mesh``.
 """
 
 from mmtpu.parallel.mesh import make_mesh, config_sharding, replicated
@@ -14,6 +16,7 @@ from mmtpu.parallel.collectives import (
     sharded_angular_partition,
     sharded_gaussian_logpdf,
 )
+from mmtpu.parallel.fit import fit_latents_mesh, make_fit_mesh
 
 __all__ = [
     "make_mesh",
@@ -21,4 +24,6 @@ __all__ = [
     "replicated",
     "sharded_angular_partition",
     "sharded_gaussian_logpdf",
+    "fit_latents_mesh",
+    "make_fit_mesh",
 ]

@@ -33,14 +33,17 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--unimodal", action="store_true",
                         help="run MMB1 (unimodal factorization)")
     parser.add_argument("--pos_embed_dim", type=int)
-    parser.add_argument("--batch_size", type=int, default=64)
-    parser.add_argument("--n_runs", type=int, default=1)
+    # None defaults so an unset flag never overrides a config-JSON value —
+    # the reference precedence is args.update(config) (simplesif.py:210-238);
+    # the reference defaults live on ExperimentConfig's fields instead
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--n_runs", type=int, default=None)
     parser.add_argument(
         "--semi_sup_idxes",
         choices=["{:.1f}".format(x) for x in np.arange(0.1, 1, 0.1)],
     )
     parser.add_argument("--config_name")
-    parser.add_argument("--lr_decay", type=float, default=0.5)
+    parser.add_argument("--lr_decay", type=float, default=None)
     parser.add_argument("--early_stopping", action="store_true")
     parser.add_argument("--sentiment_epochs", type=int)
     parser.add_argument("--emotion", choices=["happy", "angry", "neutral", "sad"])

@@ -63,28 +63,40 @@ def prepare(cfg: ExperimentConfig, data_dir: str = ".") -> PreparedData:
     )
 
 
-def load_semi_sup_mask(
-    cfg: ExperimentConfig, n_train: int, data_dir: str = "."
+def semi_sup_mask(
+    dataset: str,
+    semi_sup_idxes: Optional[str],
+    n_train: int,
+    seed: int = 0,
+    data_dir: str = ".",
 ) -> Optional[np.ndarray]:
     """0/1 labeled mask from ``<dataset>_subset_idxes.h5`` (simplesif.py:496-501);
     synthesizes a deterministic subset if the file is absent."""
-    if cfg.semi_sup_idxes is None:
+    if semi_sup_idxes is None:
         return None
     import os
 
     mask = np.zeros(n_train, np.float32)
-    path = os.path.join(data_dir, f"{cfg.dataset}_subset_idxes.h5")
+    path = os.path.join(data_dir, f"{dataset}_subset_idxes.h5")
     if os.path.isfile(path):
         import h5py
 
         with h5py.File(path, "r") as f:
-            idxes = f[cfg.semi_sup_idxes][:]
+            idxes = f[semi_sup_idxes][:]
     else:
-        frac = float(cfg.semi_sup_idxes)
-        rng = np.random.default_rng(cfg.seed)
+        frac = float(semi_sup_idxes)
+        rng = np.random.default_rng(seed)
         idxes = rng.choice(n_train, size=int(round(frac * n_train)), replace=False)
     mask[idxes] = 1.0
     return mask
+
+
+def load_semi_sup_mask(
+    cfg: ExperimentConfig, n_train: int, data_dir: str = "."
+) -> Optional[np.ndarray]:
+    return semi_sup_mask(
+        cfg.dataset, cfg.semi_sup_idxes, n_train, seed=cfg.seed, data_dir=data_dir
+    )
 
 
 def _sentiment_phase(
@@ -217,6 +229,9 @@ def run_experiment(
             partition_fn=partition_fn,
             opt_kind=cfg.optimizer,
         )
+        # e2e freeze_weights: heads frozen, norm still trains (see
+        # mmtpu.train.e2e — simplesif.py:689-691 vs models.py:170-178)
+        e2e_hp = dict(hp, train_heads=jnp.float32(not cfg.freeze_weights))
         train_embed, decoder, _, train_losses = _fit_e2e(
             k_fit,
             jnp.asarray(prep.sif_init["train"]),
@@ -225,7 +240,7 @@ def run_experiment(
             train_view(prep.splits["train"]),
             jnp.asarray(prep.labels["train"]),
             vocab,
-            hp,
+            e2e_hp,
             espec,
             senti_mask=None if semi_mask is None else jnp.asarray(semi_mask),
         )
@@ -323,9 +338,12 @@ def run_experiment(
         results["closed_form"] = _time_closed_form(cfg, prep, decoder, verbose)
 
     latents = {"train": train_embed, "valid": valid_embed, "test": test_embed}
+    # semi-sup subsetting applies in BOTH modes: the reference's e2e branch
+    # also passes sentiment_train_idxes to the downstream phase
+    # (simplesif.py:910-912, sentiment_model.py:189-194)
     results["sentiment"] = _sentiment_phase(
         cfg, prep, latents, store, "post", k_sent,
-        train_idxes=None if (semi_mask is None or cfg.e2e) else semi_mask,
+        train_idxes=semi_mask,
         verbose=verbose,
     )
     return results
@@ -356,7 +374,7 @@ def _time_closed_form(cfg, prep, decoder, verbose=True) -> Dict:
         })
     heads_used = {k: heads[k] for k in data}
     sw = jnp.asarray(d["text_weights"])
-    se = jnp.asarray(d["text"])
+    se = jnp.asarray(prep.vocab_embeddings)[jnp.asarray(d["text_ids"])]
 
     fn = jax.jit(lambda dd, hh, w, s: closed_form_latents(dd, hh, w, s))
     lat = fn(data, heads_used, sw, se)

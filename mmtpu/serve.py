@@ -60,6 +60,9 @@ class ClosedFormServer:
         batch_sizes: padded compile ladder; requests are right-padded up to
             the smallest fitting size (one compile per size, at init).
         sentiment_params: optional sentiment MLP for chained prediction.
+        word_embeddings: optional (V, D) vocab table — when given, requests
+            may carry ``text_ids`` (B, Lt) int token ids instead of
+            pre-gathered ``text`` (B, Lt, D) vectors (~300x smaller requests).
     """
 
     def __init__(
@@ -68,6 +71,7 @@ class ClosedFormServer:
         heads: Optional[Sequence[str]] = None,
         batch_sizes: Sequence[int] = (64, 256, 1024),
         sentiment_params=None,
+        word_embeddings=None,
     ):
         self.heads = tuple(heads or decoder_params["heads"].keys())
         self._head_params = {
@@ -75,13 +79,20 @@ class ClosedFormServer:
         }
         self.batch_sizes = sorted(batch_sizes)
         self._senti = sentiment_params
+        self._vocab = (
+            None if word_embeddings is None else jnp.asarray(word_embeddings)
+        )
 
         def run(streams):
-            # everything — concatenation, estimation, prediction — is ONE
-            # compiled program: a single device dispatch per request
+            # everything — gather, concatenation, estimation, prediction — is
+            # ONE compiled program: a single device dispatch per request
             data = assemble_head_data(streams, self.heads)
+            sent = (
+                streams["text"] if "text" in streams
+                else self._vocab[streams["text_ids"]]
+            )
             lat = closed_form_latents(
-                data, self._head_params, streams["text_weights"], streams["text"]
+                data, self._head_params, streams["text_weights"], sent
             )
             if self._senti is not None:
                 from mmtpu.models.sentiment import apply_sentiment
@@ -103,8 +114,10 @@ class ClosedFormServer:
 
         Args:
             batch: dict with ``text_gauss`` (B, L, Tg), ``audio`` (B, L, A),
-                ``visual`` (B, L, V), ``text_weights`` (B, Lt), ``text``
-                (B, Lt, D) — the prepared-data convention.
+                ``visual`` (B, L, V), ``text_weights`` (B, Lt), and either
+                ``text_ids`` (B, Lt) ints (needs ``word_embeddings`` at
+                construction) or pre-gathered ``text`` (B, Lt, D) — the
+                prepared-data convention.
 
         Returns:
             ``(latents (B, D), predictions or None)`` with padding stripped.

@@ -51,6 +51,14 @@ def main(argv=None) -> int:
                              "layout artifacts (model_saves/...)")
     parser.add_argument("--n_runs", type=int, default=1,
                         help="repetitions per config with independent seeds")
+    parser.add_argument("--validation_curve", action="store_true",
+                        help="emit per-config recursive validation curves "
+                             "(reference cadence 80 epochs; expensive)")
+    parser.add_argument("--semi_sup_idxes",
+                        choices=["0.%d" % i for i in range(1, 10)],
+                        help="semi-supervised labeled fraction (reference "
+                             "--semi_sup_idxes): e2e joint losses mask "
+                             "unlabeled rows; sentiment trains on the subset")
     parser.add_argument("--unroll", type=int, default=1,
                         help="scan unroll factor (amortizes per-step overhead "
                              "at the cost of compile time)")
@@ -79,16 +87,15 @@ def main(argv=None) -> int:
         print("no configs found", file=sys.stderr)
         return 1
 
-    pos_max = max(c.get("pos_embed_dim", 0) for c in configs)
+    pos_dims = tuple(sorted({c.get("pos_embed_dim", 0) for c in configs} - {0}))
     t0 = time.time()
     ds = load_dataset(args.dataset, data_dir=args.data_dir, emotion=args.emotion)
     if ds.get("synthetic"):
         print("[mmtpu] real data blobs not found — using synthetic stand-ins")
     prep = prepare_device_data(
         ds,
-        pos_embed_dim=pos_max,
-        pos_mode="shared" if pos_max > 0 else "baked",
-        pos_max_dim=pos_max or None,
+        pos_mode="shared" if pos_dims else "baked",
+        pos_dims=pos_dims or None,
     )
     print(f"[sweep] {len(configs)} configs on {args.dataset} "
           f"(prep {time.time() - t0:.1f}s)")
@@ -99,6 +106,17 @@ def main(argv=None) -> int:
 
         mesh = make_mesh()
         print(f"[sweep] mesh over {mesh.devices.size} devices")
+
+    mask = None
+    if args.semi_sup_idxes:
+        from mmtpu.runner import semi_sup_mask
+
+        mask = semi_sup_mask(
+            args.dataset, args.semi_sup_idxes,
+            prep.labels["train"].shape[0], seed=args.seed,
+            data_dir=args.data_dir,
+        )
+        print(f"[sweep] semi-supervised: {int(mask.sum())} labeled rows")
 
     res = run_sweep(
         configs, prep,
@@ -111,6 +129,8 @@ def main(argv=None) -> int:
         unroll=args.unroll,
         n_runs=args.n_runs,
         use_pallas=args.pallas or None,
+        senti_mask=mask,
+        validation_curve=args.validation_curve,
     )
 
     os.makedirs(args.out, exist_ok=True)

@@ -10,9 +10,11 @@ reference bakes into program *structure*; mmtpu turns each into data:
 | optimizer             | sgd/adam      | branchless opt_code                |
 | norm                  | layer/batch   | branchless norm_code               |
 | n_epochs              | 100/200       | run max, mask late updates         |
-| pos_embed_dim         | 2/4           | shared (L, P_max) table + per-     |
-|                       |               | config channel mask (extra chans   |
-|                       |               | masked → zero loss, zero grads)    |
+| pos_embed_dim         | 2/4           | shared table of one exact          |
+|                       |               | standalone-encoding block per      |
+|                       |               | unique dim; a config's channel     |
+|                       |               | mask selects its own block (other  |
+|                       |               | blocks → zero loss, zero grads)    |
 | sentiment_hidden_size | 100/150       | zero-padded dead hidden units      |
 
 Every mechanism is *exactly* equivalent to running the config standalone
@@ -37,8 +39,11 @@ class SweepStatics:
 
     n_epochs_max: int
     n_sentiment_epochs_max: int
-    pos_max: int
+    pos_max: int  # total shared-table width = sum(pos_dims)
     hidden_max: int
+    # sorted unique positional dims — the block layout of the shared table
+    # (must match PreparedData.pos_dims)
+    pos_dims: tuple = ()
     batch_size: int = 64
     unimodal: bool = False
     word_metric: str = "angular"
@@ -48,6 +53,9 @@ class SweepStatics:
     # static optimizer kind for a homogeneous bucket (None = branchless mix)
     opt_kind: str | None = None
     use_pallas: bool = False  # fused Pallas angular-partition kernel
+    # recursive validation curves during training (reference cadence 80 —
+    # simplesif.py:146-159, 795-799); expensive, opt-in
+    validation_curve: bool = False
 
 
 def statics_from_configs(
@@ -65,10 +73,12 @@ def statics_from_configs(
             "configs mixing e2e modes or word metrics must be bucketed into "
             f"separate sweeps (got e2e={e2e_vals}, metric={metric_vals})"
         )
+    pos_dims = tuple(sorted({int(p) for p in vals("pos_embed_dim", 0) if p > 0}))
     return SweepStatics(
         n_epochs_max=max(vals("n_epochs", 100)),
         n_sentiment_epochs_max=max(vals("n_sentiment_epochs", 400)),
-        pos_max=max(vals("pos_embed_dim", 0)),
+        pos_max=sum(pos_dims),
+        pos_dims=pos_dims,
         hidden_max=max(vals("sentiment_hidden_size", 100)),
         batch_size=batch_size,
         unimodal=unimodal,
@@ -84,10 +94,14 @@ def pack_configs(configs: Sequence[dict], statics: SweepStatics) -> Dict[str, np
     def arr(key, default, dtype=np.float32):
         return np.asarray([c.get(key, default) for c in configs], dtype)
 
-    pos_dims = arr("pos_embed_dim", 0, np.int32)
-    pos_mask = (
-        np.arange(statics.pos_max)[None, :] < pos_dims[:, None]
-    ).astype(np.float32)
+    # block-select mask: config with pos_embed_dim == p activates exactly the
+    # channels of its own standalone-encoding block in the shared table
+    cfg_dims = arr("pos_embed_dim", 0, np.int32)
+    pos_mask = np.zeros((k, statics.pos_max), np.float32)
+    ofs = 0
+    for p in statics.pos_dims:
+        pos_mask[:, ofs : ofs + p] = (cfg_dims == p)[:, None]
+        ofs += p
 
     return {
         "lr": arr("lr", 1e-3),
@@ -102,6 +116,12 @@ def pack_configs(configs: Sequence[dict], statics: SweepStatics) -> Dict[str, np
             [NORM_CODES[c.get("norm")] for c in configs], np.int32
         ),
         "n_epochs": arr("n_epochs", 100, np.int32),
+        # 1.0 unless freeze_weights — gates the decoder update per config
+        # (whole decoder in non-e2e buckets, heads-only in e2e buckets)
+        "train_dec": np.asarray(
+            [0.0 if c.get("freeze_weights") else 1.0 for c in configs],
+            np.float32,
+        ),
         "n_sentiment_epochs": arr("n_sentiment_epochs", 400, np.int32),
         "hidden_dims": arr("sentiment_hidden_size", 100, np.int32),
         "pos_mask": pos_mask,

@@ -74,13 +74,26 @@ def _stacked_sentiment_init(keys, embed_dim, hidden_dims, n_out, hidden_max):
 
 
 def build_sweep_fn(statics: SweepStatics, labels, vocab, dataset_name: str,
-                   return_embeddings: bool = False):
-    """Construct the single jitted sweep program for one chunk shape."""
+                   return_embeddings: bool = False, senti_mask=None):
+    """Construct the single jitted sweep program for one chunk shape.
+
+    ``senti_mask`` is the sweep-level 0/1 labeled mask for semi-supervised
+    runs (the reference's ``--semi_sup_idxes`` is a CLI flag shared by every
+    config, not a grid axis — simplesif.py:194): in e2e buckets it zeroes the
+    sentiment term of unlabeled rows inside the joint loss
+    (simplesif.py:779-784), and in BOTH modes the downstream sentiment phase
+    trains on the labeled row subset only (sentiment_model.py:189-194).
+    """
+    senti_sel = None
+    if senti_mask is not None:
+        senti_sel = np.nonzero(np.asarray(senti_mask))[0]  # static row subset
+        senti_mask = jnp.asarray(senti_mask, jnp.float32)
     partition_fn = None
     if statics.use_pallas:
         from mmtpu.kernels.angular import angular_partition_pallas
 
         partition_fn = angular_partition_pallas
+    valid_every = 80 if statics.validation_curve else 0  # valid_niter*8
     lspec = LatentFitSpec(
         n_epochs_max=statics.n_epochs_max,
         batch_size=statics.batch_size,
@@ -90,6 +103,7 @@ def build_sweep_fn(statics: SweepStatics, labels, vocab, dataset_name: str,
         unroll=statics.unroll,
         opt_kind=statics.opt_kind,
         partition_fn=partition_fn,
+        valid_every=valid_every,
     )
     espec = E2EFitSpec(
         n_epochs_max=statics.n_epochs_max,
@@ -99,6 +113,7 @@ def build_sweep_fn(statics: SweepStatics, labels, vocab, dataset_name: str,
         unroll=statics.unroll,
         opt_kind=statics.opt_kind,
         partition_fn=partition_fn,
+        valid_every=valid_every,
     )
     ispec = LatentFitSpec(
         n_epochs_max=statics.n_epochs_max,
@@ -123,25 +138,39 @@ def build_sweep_fn(statics: SweepStatics, labels, vocab, dataset_name: str,
     else:
         metric_fn = iemocap_metrics
 
-    def one_train(rng, init_embed, dec, senti, hp, dtr):
+    def one_train(rng, init_embed, dec, senti, hp, dtr, validation):
         if statics.e2e:
-            embed, dec2, senti2, losses = fit_e2e(
+            out = fit_e2e(
                 rng, init_embed, dec, senti, dtr, labels["train"], vocab, hp,
-                espec, None,
+                espec, senti_mask, validation=validation,
             )
+            if statics.validation_curve:
+                embed, dec2, _, losses, vcurve = out
+            else:
+                (embed, dec2, _, losses), vcurve = out, None
         else:
-            embed, dec2, losses = fit_latents(
-                rng, init_embed, dec, dtr, vocab, hp, lspec
-            )
-        return embed, dec2, losses
+            out = fit_latents(rng, init_embed, dec, dtr, vocab, hp, lspec,
+                              validation)
+            if statics.validation_curve:
+                embed, dec2, losses, vcurve = out
+            else:
+                (embed, dec2, losses), vcurve = out, None
+        return embed, dec2, losses, (jnp.zeros((0,)) if vcurve is None
+                                     else vcurve)
 
     def sweep(rngs, init_embeds, dec_stack, senti_stack, hp, s_hp,
               data_train, data_valid, data_test):
         dax = _data_axes(data_train)
+        validation = None
+        val_ax = None
+        if statics.validation_curve:
+            validation = (init_embeds["valid"], data_valid)
+            val_ax = (None, dax)
         # --- phase 1: train latents (+decoder, + sentiment head if e2e) ---
-        embeds, decs, losses = jax.vmap(
-            one_train, in_axes=(0, None, 0, 0, 0, dax)
-        )(rngs, init_embeds["train"], dec_stack, senti_stack, hp, data_train)
+        embeds, decs, losses, vcurves = jax.vmap(
+            one_train, in_axes=(0, None, 0, 0, 0, dax, val_ax)
+        )(rngs, init_embeds["train"], dec_stack, senti_stack, hp, data_train,
+          validation)
 
         # --- phase 2: inference = optimization on valid/test (frozen dec) ---
         def infer(rng, init_e, dec, hp, d):
@@ -156,9 +185,16 @@ def build_sweep_fn(statics: SweepStatics, labels, vocab, dataset_name: str,
         )
 
         # --- phase 3: downstream sentiment training ---
+        # semi-sup: train on the labeled row subset only (the mask is
+        # sweep-level, so the subset is a static gather shared by all configs)
+        y_train = labels["train"]
+        if senti_sel is not None:
+            y_train = y_train[senti_sel]
+
         def sent(rng, senti, tr_e, va_e, shp):
+            tr_lat = tr_e if senti_sel is None else tr_e[senti_sel]
             last, _, _, _ = fit_sentiment(
-                rng, senti, tr_e, labels["train"], va_e, labels["valid"],
+                rng, senti, tr_lat, y_train, va_e, labels["valid"],
                 shp, sspec,
             )
             return last
@@ -176,6 +212,8 @@ def build_sweep_fn(statics: SweepStatics, labels, vocab, dataset_name: str,
         epoch_idx = jnp.clip(hp["n_epochs"] - 1, 0, statics.n_epochs_max - 1)
         final_loss = jax.vmap(lambda l, i: l[i])(losses, epoch_idx)
         out = {"metrics": metrics, "final_train_loss": final_loss}
+        if statics.validation_curve:
+            out["valid_curve"] = vcurves  # (K, n_epochs_max + 1), NaN between samples
         if return_embeddings:
             out["embeddings"] = {"train": embeds, "valid": valid_e, "test": test_e}
         return out
@@ -197,6 +235,8 @@ def run_sweep(
     unroll: int = 1,
     n_runs: int = 1,
     use_pallas: Optional[bool] = None,
+    senti_mask: Optional[np.ndarray] = None,
+    validation_curve: bool = False,
 ) -> SweepResult:
     """Run every config of the grid in vmapped chunks.
 
@@ -213,6 +253,12 @@ def run_sweep(
         n_runs: repetitions per config with independent seeds (the
             reference's --n_runs, simplesif.py:193); expands the config list
             as (config, run) pairs along the same vmap axis.
+        senti_mask: sweep-level 0/1 labeled mask over train rows for
+            semi-supervised runs (see :func:`build_sweep_fn`).
+        validation_curve: emit per-config recursive validation-loss curves
+            (reference cadence 80 — simplesif.py:146-159/795-799) as a
+            ``valid_curve`` column; expensive, mirrors the runner's
+            ``--validation_curve``.
         use_pallas: fused Pallas kernel for the angular partition —
             ~10-15% faster execution but ~3x Mosaic compile time for the big
             scan programs, so default off; worth it for long sweeps with a
@@ -227,6 +273,8 @@ def run_sweep(
     statics = statics_from_configs(configs, batch_size=batch_size, unimodal=unimodal)
     if unroll != 1:
         statics = _dc.replace(statics, unroll=unroll)
+    if validation_curve:
+        statics = _dc.replace(statics, validation_curve=True)
     if use_pallas is None:
         # measured: the fused kernel buys ~10-15% execution but ~3x Mosaic
         # compile time inside the big scan programs — a net loss for cold
@@ -234,13 +282,25 @@ def run_sweep(
         use_pallas = False
     if use_pallas and statics.word_metric == "angular":
         statics = _dc.replace(statics, use_pallas=True)
-    if statics.pos_max > 0 and prep.pos_table is None:
-        raise ValueError(
-            "sweep needs prepare_device_data(..., pos_mode='shared', "
-            f"pos_max_dim>={statics.pos_max})"
+    if statics.pos_max > 0:
+        if prep.pos_table is None:
+            raise ValueError(
+                "sweep needs prepare_device_data(..., pos_mode='shared', "
+                f"pos_dims={statics.pos_dims})"
+            )
+        # per-config masks are laid out against the PREPARED table's block
+        # structure — rebase statics onto it (a misaligned layout would
+        # silently select wrong channels)
+        prep_dims = tuple(int(p) for p in (prep.pos_dims or ()))
+        if not set(statics.pos_dims) <= set(prep_dims):
+            raise ValueError(
+                f"configs use pos_embed_dim {statics.pos_dims} but the "
+                f"prepared table has blocks {prep_dims}; prepare with "
+                f"pos_dims={statics.pos_dims}"
+            )
+        statics = _dc.replace(
+            statics, pos_dims=prep_dims, pos_max=sum(prep_dims)
         )
-    if prep.pos_table is not None and prep.pos_table.shape[-1] < statics.pos_max:
-        raise ValueError("prep.pos_table narrower than the widest config")
 
     k_total = len(configs)
     # default chunk: bounded — very wide single dispatches exceed HBM and/or
@@ -301,8 +361,30 @@ def run_sweep(
     n_chunks = len(work)
 
     # ---- chunk-level checkpoint / resume ----
+    import hashlib as _hashlib
     import json as _json
     import os as _os
+
+    # fingerprint everything that determines per-chunk results, so a resume
+    # against a checkpoint_dir from a *different* sweep (changed seed, batch
+    # size, configs, ...) refuses the stale chunks instead of merging them
+    fingerprint = _hashlib.sha256(
+        _json.dumps(
+            {
+                "seed": seed,
+                "batch_size": batch_size,
+                "unimodal": unimodal,
+                "statics": dataclasses.asdict(statics),
+                "configs": configs,
+                "senti_mask": (
+                    None if senti_mask is None
+                    else np.asarray(senti_mask).tolist()
+                ),
+            },
+            sort_keys=True,
+            default=str,
+        ).encode()
+    ).hexdigest()
 
     done_chunks: Dict[str, dict] = {}
     state_path = None
@@ -311,7 +393,8 @@ def run_sweep(
         state_path = _os.path.join(checkpoint_dir, "sweep_state.json")
         if _os.path.isfile(state_path):
             st = _json.load(open(state_path))
-            if st.get("n_configs") == k_total and st.get("chunk") == chunk:
+            if (st.get("n_configs") == k_total and st.get("chunk") == chunk
+                    and st.get("fingerprint") == fingerprint):
                 for cid in st.get("chunks", []):
                     npz = np.load(
                         _os.path.join(checkpoint_dir, f"chunk_{cid}.npz")
@@ -320,6 +403,9 @@ def run_sweep(
                 if verbose and done_chunks:
                     print(f"[sweep] resuming: {len(done_chunks)}/{n_chunks} "
                           f"chunks already complete")
+            elif verbose:
+                print("[sweep] checkpoint_dir holds a different sweep "
+                      "(fingerprint mismatch) — starting fresh")
 
     def scatter_results(positions, chunk_loss, chunk_metrics):
         n_real = len(positions)
@@ -369,6 +455,11 @@ def run_sweep(
             "opt_code": jnp.asarray(hp_np["opt_code"]),
             "norm_code": jnp.asarray(hp_np["norm_code"]),
             "n_epochs": jnp.asarray(hp_np["n_epochs"]),
+            # per-config freeze_weights gates: fit_latents reads "train_dec"
+            # (whole decoder), fit_e2e reads "train_heads" (heads only — the
+            # reference's e2e freeze leaves the norm trainable)
+            "train_dec": jnp.asarray(hp_np["train_dec"]),
+            "train_heads": jnp.asarray(hp_np["train_dec"]),
         })
         s_hp = shard_cfg({
             "lr": jnp.asarray(hp_np["sentiment_lr"]),
@@ -395,6 +486,7 @@ def run_sweep(
                 sweep_fns[kind] = build_sweep_fn(
                     bucket_statics, labels, vocab, prep.name,
                     return_embeddings=return_embeddings,
+                    senti_mask=senti_mask,
                 )
                 tc = time.time()
                 out = sweep_fns[kind](rngs, init_embeds, dec_stack, senti_stack,
@@ -414,15 +506,21 @@ def run_sweep(
             if verbose:
                 print(f"[sweep] chunk width {chunk} failed on device — "
                       f"retrying the sweep at width {chunk // 2}")
+            # configs is already (config, run)-expanded at this point, so the
+            # retry passes n_runs=1 (the default) to avoid double expansion
             return run_sweep(
                 configs, prep, batch_size=batch_size, unimodal=unimodal,
                 seed=seed, chunk_size=chunk // 2, mesh=mesh,
                 return_embeddings=return_embeddings, verbose=verbose,
                 checkpoint_dir=checkpoint_dir, unroll=unroll,
+                use_pallas=use_pallas, senti_mask=senti_mask,
+                validation_curve=validation_curve,
             )
 
         chunk_loss = np.asarray(out["final_train_loss"])
         chunk_metrics = {mk: np.asarray(mv) for mk, mv in out["metrics"].items()}
+        if "valid_curve" in out:
+            chunk_metrics["valid_curve"] = np.asarray(out["valid_curve"])
         scatter_results(positions, chunk_loss, chunk_metrics)
         if state_path is not None:
             np.savez(
@@ -434,6 +532,7 @@ def run_sweep(
             tmp = state_path + ".tmp"
             _json.dump(
                 {"n_configs": k_total, "chunk": chunk,
+                 "fingerprint": fingerprint,
                  "chunks": sorted(done_chunks)},
                 open(tmp, "w"),
             )

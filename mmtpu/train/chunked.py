@@ -1,0 +1,88 @@
+"""Epoch-chunked latent fits with mid-run checkpoint/resume.
+
+The reference restarts a killed run from scratch (SURVEY.md §5 — artifact
+saving only, no resume).  A monolithic mmtpu fit is ONE jitted scan — great
+for throughput, but uninterruptible.  This module runs the same fit as a
+host-side loop over jitted epoch SEGMENTS (``fit_latents_segment``), saving
+the full scan carry (embeddings, decoder, optimizer moments, rng key) after
+every segment:
+
+- uninterrupted, the result is EXACTLY the monolithic ``fit_latents`` (same
+  epoch indices, same rng threading — tested in tests/test_aux.py);
+- killed at any point, the next call with the same ``checkpointer`` resumes
+  at the last completed segment boundary instead of epoch 0.
+
+One segment program is compiled and reused for every segment (the epoch
+offset is a traced scalar).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmtpu.io.checkpoint import Checkpointer
+from mmtpu.train.latents import (
+    LatentFitSpec,
+    fit_latents_segment,
+    init_fit_carry,
+)
+
+_segment = jax.jit(fit_latents_segment, static_argnums=(4, 6))
+
+
+def fit_latents_checkpointed(
+    rng: jax.Array,
+    init_embed,
+    decoder_params,
+    data: Mapping,
+    vocab_emb,
+    hp: Mapping,
+    spec: LatentFitSpec,
+    checkpointer: Optional[Checkpointer] = None,
+    segment_epochs: int = 25,
+    verbose: bool = False,
+):
+    """Drop-in replacement for ``fit_latents`` (no-validation mode) that can
+    resume a killed run at segment granularity.
+
+    Returns ``(embed, decoder_params, losses)`` — identical to the monolithic
+    fit when run to completion.
+    """
+    if spec.valid_every:
+        raise ValueError("validation-curve mode is monolithic-only")
+    n_total = spec.n_epochs_max
+    carry = init_fit_carry(rng, init_embed, decoder_params, spec)
+    losses = np.zeros(n_total, np.float32)
+    start = 0
+
+    if checkpointer is not None:
+        saved, step, extra = checkpointer.restore((carry, losses))
+        if saved is not None and extra.get("n_epochs_max") == n_total:
+            carry, saved_losses = saved
+            losses = np.asarray(saved_losses, np.float32).copy()
+            start = int(step)
+            if verbose:
+                print(f"[chunked] resuming at epoch {start}/{n_total}")
+
+    for s0 in range(start, n_total, segment_epochs):
+        n_seg = min(segment_epochs, n_total - s0)
+        if n_seg == segment_epochs:
+            carry, seg_losses = _segment(
+                carry, data, vocab_emb, hp, spec, jnp.int32(s0), segment_epochs
+            )
+        else:  # one shorter tail segment (second compile at most)
+            carry, seg_losses = _segment(
+                carry, data, vocab_emb, hp, spec, jnp.int32(s0), n_seg
+            )
+        losses[s0 : s0 + n_seg] = np.asarray(seg_losses)
+        if checkpointer is not None:
+            jax.block_until_ready(carry[0])
+            checkpointer.save(
+                s0 + n_seg, (carry, losses), extra={"n_epochs_max": n_total}
+            )
+    embed, dec = carry[0], carry[1]
+    return embed, dec, jnp.asarray(losses)

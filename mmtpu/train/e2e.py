@@ -37,6 +37,12 @@ class E2EFitSpec:
     partition_fn: object = None
     unroll: int = 1
     opt_kind: str | None = None  # static optimizer kind (see LatentFitSpec)
+    # recursive validation cadence: every valid_every epochs, refit the valid
+    # split likelihood-only against the frozen current decoder — the e2e
+    # branch uses the same valid_niter*8 = 80 cadence as the non-e2e path
+    # (simplesif.py:795-799); 0 disables
+    valid_every: int = 0
+    valid_batch_mult: int = 8
 
     def latent_spec(self) -> LatentFitSpec:
         return LatentFitSpec(
@@ -64,14 +70,29 @@ def fit_e2e(
     hp: Mapping[str, jax.Array],
     spec: E2EFitSpec,
     senti_mask: Optional[jax.Array] = None,
+    validation=None,
 ):
-    """Joint fit.  Returns ``(embed, decoder_params, senti_params, losses)``.
+    """Joint fit.  Returns ``(embed, decoder_params, senti_params, losses)``
+    — plus ``valid_losses`` when ``validation=(valid_init, valid_data)`` and
+    ``spec.valid_every > 0`` (the reference's recursive likelihood-only
+    validation fit, simplesif.py:795-799; NaN between sampling points, one
+    final sample appended).
 
     hp keys: as :func:`fit_latents` plus ``likelihood_weight``.
     ``senti_mask`` is the per-utterance 0/1 labeled mask (semi-supervised);
     None = fully supervised.
     """
+    from mmtpu.train.latents import fit_latents
+
     lspec = spec.latent_spec()
+    inner_spec = None
+    if validation is not None and spec.valid_every > 0:
+        inner_spec = dataclasses.replace(
+            lspec,
+            train_decoder=False,
+            shuffle=False,
+            batch_size=spec.batch_size * spec.valid_batch_mult,
+        )
     n = init_embed.shape[0]
     bsz = spec.batch_size
     n_batches = -(-n // bsz)
@@ -148,8 +169,21 @@ def fit_e2e(
                     embed, ge, e_opt, hp["lr"], hp["opt_code"], active,
                     kind=spec.opt_kind,
                 )
+            # freeze_weights in e2e mode freezes ONLY the generator heads —
+            # the norm's affine params stay trainable, because the reference
+            # adds all gen_model.parameters() to the optimizer but
+            # freeze_weights() detaches just the embed2out linears
+            # (simplesif.py:689-691, models.py:170-178)
+            dec_gates = None
+            if "train_heads" in hp:
+                th = hp["train_heads"]
+                dec_gates = {
+                    "heads": jax.tree.map(lambda _: th, dec["heads"]),
+                    "norm": jax.tree.map(lambda _: jnp.float32(1.0), dec["norm"]),
+                }
             dec2, d_opt2 = opt_update(dec, gd, d_opt, hp["lr"], hp["opt_code"],
-                                      active, kind=spec.opt_kind)
+                                      active, kind=spec.opt_kind,
+                                      gates=dec_gates)
             sen2, s_opt2 = opt_update(sen, gs, s_opt, hp["lr"], hp["opt_code"],
                                       active, kind=spec.opt_kind)
             return (embed2, dec2, sen2, e_opt2, d_opt2, s_opt2), loss
@@ -158,11 +192,38 @@ def fit_e2e(
             batch_body, (embed, dec, sen, e_opt, d_opt, s_opt), (idx, valid),
             unroll=spec.unroll,
         )
-        return (embed, dec, sen, e_opt, d_opt, s_opt, key), jnp.sum(batch_losses)
+        epoch_loss = jnp.sum(batch_losses)
+        if inner_spec is None:
+            return (embed, dec, sen, e_opt, d_opt, s_opt, key), epoch_loss
 
-    (embed, dec, sen, _, _, _, _), losses = jax.lax.scan(
-        epoch_body,
-        (embed, decoder_params, senti_params, e_opt, d_opt, s_opt, rng),
-        jnp.arange(spec.n_epochs_max),
+        # recursive validation against the frozen current decoder
+        # (simplesif.py:795-799)
+        v_init, v_data = validation
+        key, v_key = jax.random.split(key)
+        do_valid = jnp.logical_and(active, epoch_idx % spec.valid_every == 0)
+
+        def run_valid():
+            _, _, v_losses = fit_latents(
+                v_key, v_init, dec, v_data, vocab_emb, hp, inner_spec
+            )
+            last_idx = jnp.clip(hp["n_epochs"] - 1, 0, spec.n_epochs_max - 1)
+            return v_losses[last_idx]
+
+        v_loss = jax.lax.cond(do_valid, run_valid, lambda: jnp.float32(jnp.nan))
+        return (embed, dec, sen, e_opt, d_opt, s_opt, key), (epoch_loss, v_loss)
+
+    carry0 = (embed, decoder_params, senti_params, e_opt, d_opt, s_opt, rng)
+    if inner_spec is None:
+        (embed, dec, sen, _, _, _, _), losses = jax.lax.scan(
+            epoch_body, carry0, jnp.arange(spec.n_epochs_max)
+        )
+        return embed, dec, sen, losses
+
+    (embed, dec, sen, _, _, _, key), (losses, valid_losses) = jax.lax.scan(
+        epoch_body, carry0, jnp.arange(spec.n_epochs_max)
     )
-    return embed, dec, sen, losses
+    v_init, v_data = validation
+    _, _, fv = fit_latents(key, v_init, dec, v_data, vocab_emb, hp, inner_spec)
+    last_idx = jnp.clip(hp["n_epochs"] - 1, 0, spec.n_epochs_max - 1)
+    valid_losses = jnp.concatenate([valid_losses, fv[last_idx][None]])
+    return embed, dec, sen, losses, valid_losses

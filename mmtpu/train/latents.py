@@ -24,7 +24,10 @@ TPU-first design:
   data streams (no ``torch.cat`` per step — see ``mmtpu.models.decoder``).
 
 Data dict convention (all jnp arrays, leading axis N = #utterances):
-    text          (N, L, D)   per-token word vectors (word-likelihood stream)
+    text_ids      (N, L)      int32 token ids (word-likelihood stream) — the
+                              per-token vectors are gathered from the vocab
+                              table per batch, never stored (N, L, D); tests
+                              may pass pre-gathered "text" (N, L, D) instead
     text_weights  (N, L)      per-token SIF weights
     text_mask     (N, L)      0/1 token mask (reference broadcasts to D;
                               equivalent)
@@ -88,17 +91,29 @@ class LatentFitSpec:
     # receive exactly zero update; Adam's stale-momentum semantics require
     # dense updates and keep the full-table path).
     opt_kind: str | None = None
+    # Mesh axis name to shard each minibatch's ROWS over (GSPMD): the loss /
+    # gradient of every step is computed with the batch split across devices
+    # and XLA inserts the psums — one oversized config spans chips with no
+    # change to the math (batch-norm statistics stay global because the
+    # reduction is over the logically-global batch axis).  Requires calling
+    # under a mesh context (see mmtpu.parallel.fit.fit_latents_mesh).
+    batch_shard_axis: str | None = None
 
 
 def _word_logprob(spec: LatentFitSpec, latents, vocab_emb, b):
+    # the per-token word vectors are gathered from the vocab table per batch
+    # ((B, L, D), a few hundred KB) rather than materialized per utterance in
+    # HBM ((N, L, D) — 2.2 GB at POM's real 1357-token rows); "text" is kept
+    # as a fallback for hand-built test dicts
+    sent = b["text"] if "text" in b else vocab_emb[b["text_ids"]]
     if spec.word_metric == "angular":
         return word_logprob_angular(
-            latents, vocab_emb, b["text_weights"], b["text"], b["text_mask"],
+            latents, vocab_emb, b["text_weights"], sent, b["text_mask"],
             a=spec.a, partition_fn=spec.partition_fn,
         )
     if spec.word_metric == "dot_prod":
         return word_logprob_dot_prod(
-            latents, vocab_emb, b["text_weights"], b["text"], b["text_mask"],
+            latents, vocab_emb, b["text_weights"], sent, b["text_mask"],
             a=spec.a,
         )
     raise NotImplementedError(spec.word_metric)
@@ -171,6 +186,20 @@ def batch_neg_log_prob(
     Matches reference ``simplesif.py:129-133``; ``row_valid`` excludes padded
     rows from the mean (and from batch-norm statistics).
     """
+    if spec.batch_shard_axis is not None:
+        from jax.sharding import PartitionSpec as _P
+
+        rows = _P(spec.batch_shard_axis)
+        bsz = embed_batch.shape[0]
+        embed_batch = jax.lax.with_sharding_constraint(embed_batch, rows)
+        if row_valid is not None:
+            row_valid = jax.lax.with_sharding_constraint(row_valid, rows)
+        b = {
+            k: (jax.lax.with_sharding_constraint(v, rows)
+                if not k.startswith("pos_") and v.ndim >= 1
+                and v.shape[0] == bsz else v)
+            for k, v in b.items()
+        }
     out = apply_decoder(
         decoder_params, embed_batch, hp["norm_code"], batch_weights=row_valid
     )
@@ -245,8 +274,6 @@ def fit_latents(
             at each validation point, exactly the reference's recursive
             ``optimize_latents`` validation (``simplesif.py:146-159``).
     """
-    from mmtpu.train.optim import init_opt_state, opt_update
-
     inner_spec = None
     if validation is not None and spec.valid_every > 0:
         inner_spec = dataclasses.replace(
@@ -257,10 +284,32 @@ def fit_latents(
             valid_every=0,
         )
 
-    n = init_embed.shape[0]
-    bsz = spec.batch_size
-    n_batches = -(-n // bsz)
-    pad = n_batches * bsz - n
+    carry0 = init_fit_carry(rng, init_embed, decoder_params, spec)
+    epoch_body = _make_epoch_body(
+        data, vocab_emb, hp, spec, init_embed.shape[0], validation, inner_spec
+    )
+    if inner_spec is None:
+        (embed, dec, _, _, _), losses = jax.lax.scan(
+            epoch_body, carry0, jnp.arange(spec.n_epochs_max)
+        )
+        return embed, dec, losses
+
+    (embed, dec, _, _, key), (losses, valid_losses) = jax.lax.scan(
+        epoch_body, carry0, jnp.arange(spec.n_epochs_max)
+    )
+    # final validation (simplesif.py:153-159)
+    v_init, v_data = validation
+    _, _, fv = fit_latents(key, v_init, dec, v_data, vocab_emb, hp, inner_spec)
+    last_idx = jnp.clip(hp["n_epochs"] - 1, 0, spec.n_epochs_max - 1)
+    valid_losses = jnp.concatenate([valid_losses, fv[last_idx][None]])
+    return embed, dec, losses, valid_losses
+
+
+def init_fit_carry(rng, init_embed, decoder_params, spec: LatentFitSpec):
+    """The scan carry of a latent fit: ``(embed, decoder, embed_opt_state,
+    dec_opt_state, rng)``.  Exposed so host-side epoch-chunked fits
+    (``mmtpu.train.chunked``) can checkpoint/restore mid-run."""
+    from mmtpu.train.optim import init_opt_state
 
     embed = jnp.asarray(init_embed, jnp.float32)
     embed_opt = init_opt_state(embed, spec.opt_kind)
@@ -268,7 +317,44 @@ def fit_latents(
         init_opt_state(decoder_params, spec.opt_kind)
         if spec.train_decoder else None
     )
+    return (embed, decoder_params, embed_opt, dec_opt, rng)
 
+
+def fit_latents_segment(
+    carry,
+    data: Mapping[str, jax.Array],
+    vocab_emb: jax.Array,
+    hp: Mapping[str, jax.Array],
+    spec: LatentFitSpec,
+    epoch_start: jax.Array,
+    n_seg: int,
+):
+    """Run epochs ``[epoch_start, epoch_start + n_seg)`` of a latent fit.
+
+    Chaining segments from :func:`init_fit_carry` reproduces
+    :func:`fit_latents` EXACTLY (same epoch indices, same rng threading —
+    tested in tests/test_aux.py).  ``epoch_start`` is traced, so one compiled
+    segment program serves every segment.  Validation-curve mode is not
+    supported here (use the monolithic fit).
+
+    Returns ``(carry, losses_segment)`` with ``losses_segment: (n_seg,)``.
+    """
+    epoch_body = _make_epoch_body(
+        data, vocab_emb, hp, spec, carry[0].shape[0], None, None
+    )
+    return jax.lax.scan(
+        epoch_body, carry, jnp.asarray(epoch_start) + jnp.arange(n_seg)
+    )
+
+
+def _make_epoch_body(data, vocab_emb, hp, spec: LatentFitSpec, n,
+                     validation, inner_spec):
+    """One training epoch as a ``lax.scan`` body over the epoch index."""
+    from mmtpu.train.optim import opt_update
+
+    bsz = spec.batch_size
+    n_batches = -(-n // bsz)
+    pad = n_batches * bsz - n
     valid_flat = jnp.concatenate(
         [jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
     )
@@ -302,9 +388,18 @@ def fit_latents(
                 loss, (g_embed, g_dec) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
                     embed_arg, dec
                 )
+                # per-config freeze_weights: hp["train_dec"]=0 freezes the
+                # WHOLE decoder (heads + norm), matching the non-e2e reference
+                # where frozen decoders never enter the optimizer
+                # (simplesif.py:55-56) — used by the vmapped sweep, where
+                # train_decoder must stay a shared static
+                dec_gates = (
+                    jax.tree.map(lambda _: hp["train_dec"], dec)
+                    if "train_dec" in hp else None
+                )
                 dec2, d_opt2 = opt_update(
                     dec, g_dec, d_opt, hp["lr"], hp["opt_code"], active,
-                    kind=spec.opt_kind,
+                    kind=spec.opt_kind, gates=dec_gates,
                 )
             else:
                 loss, g_embed = jax.value_and_grad(loss_fn)(embed_arg, dec)
@@ -347,19 +442,4 @@ def fit_latents(
         v_loss = jax.lax.cond(do_valid, run_valid, lambda: jnp.float32(jnp.nan))
         return (embed, dec, e_opt, d_opt, key), (epoch_loss, v_loss)
 
-    carry0 = (embed, decoder_params, embed_opt, dec_opt, rng)
-    if inner_spec is None:
-        (embed, dec, _, _, _), losses = jax.lax.scan(
-            epoch_body, carry0, jnp.arange(spec.n_epochs_max)
-        )
-        return embed, dec, losses
-
-    (embed, dec, _, _, key), (losses, valid_losses) = jax.lax.scan(
-        epoch_body, carry0, jnp.arange(spec.n_epochs_max)
-    )
-    # final validation (simplesif.py:153-159)
-    v_init, v_data = validation
-    _, _, fv = fit_latents(key, v_init, dec, v_data, vocab_emb, hp, inner_spec)
-    last_idx = jnp.clip(hp["n_epochs"] - 1, 0, spec.n_epochs_max - 1)
-    valid_losses = jnp.concatenate([valid_losses, fv[last_idx][None]])
-    return embed, dec, losses, valid_losses
+    return epoch_body

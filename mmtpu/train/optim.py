@@ -57,7 +57,7 @@ def init_opt_state(params, kind: str | None = None) -> OptState:
 
 def opt_update(
     params, grads, state: OptState, lr, opt_code, active=True,
-    kind: str | None = None,
+    kind: str | None = None, gates=None,
 ):
     """One optimizer step.  Returns ``(new_params, new_state)``.
 
@@ -74,15 +74,28 @@ def opt_update(
             update rule is baked at trace time — SGD skips moment bookkeeping
             entirely, Adam skips the select — producing identical numbers to
             the branchless path with the matching opt_code.
+        gates: optional pytree matching ``params`` of 0/1 scalars — a leaf
+            whose gate is 0 is fully frozen: no parameter update AND no moment
+            update, exactly torch's semantics for a ``requires_grad=False``
+            parameter (its ``.grad`` stays None so Adam state never advances).
+            Used for per-config ``freeze_weights`` in the vmapped sweep
+            (reference ``simplesif.py:55-56``, ``models.py:170-178``).
     """
     count = state.count + 1
     lr = jnp.asarray(lr)
     act = jnp.asarray(active)
+    if gates is not None:
+        gmap = jax.tree.map(lambda g: jnp.logical_and(act, jnp.asarray(g) > 0), gates)
 
     if kind == "sgd":
-        new_params = jax.tree.map(
-            lambda p, g: jnp.where(act, p - lr * g, p), params, grads
-        )
+        if gates is None:
+            new_params = jax.tree.map(
+                lambda p, g: jnp.where(act, p - lr * g, p), params, grads
+            )
+        else:
+            new_params = jax.tree.map(
+                lambda p, g, a: jnp.where(a, p - lr * g, p), params, grads, gmap
+            )
         return new_params, OptState(
             m=None, v=None, count=jnp.where(act, count, state.count)
         )
@@ -91,7 +104,7 @@ def opt_update(
     bc2 = 1.0 - jnp.power(_B2, count.astype(jnp.float32))
     code = None if kind == "adam" else jnp.asarray(opt_code)
 
-    def leaf(p, g, m, v):
+    def leaf(p, g, m, v, a):
         m2 = _B1 * m + (1.0 - _B1) * g
         v2 = _B2 * v + (1.0 - _B2) * jnp.square(g)
         adam_step = lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + _EPS)
@@ -101,12 +114,17 @@ def opt_update(
             step = jnp.where(code == OPT_ADAM, adam_step, lr * g)
         p2 = p - step
         return (
-            jnp.where(act, p2, p),
-            jnp.where(act, m2, m),
-            jnp.where(act, v2, v),
+            jnp.where(a, p2, p),
+            jnp.where(a, m2, m),
+            jnp.where(a, v2, v),
         )
 
-    out = jax.tree.map(leaf, params, grads, state.m, state.v)
+    if gates is None:
+        out = jax.tree.map(
+            lambda p, g, m, v: leaf(p, g, m, v, act), params, grads, state.m, state.v
+        )
+    else:
+        out = jax.tree.map(leaf, params, grads, state.m, state.v, gmap)
     new_params = jax.tree.map(lambda t: t[0], out, is_leaf=lambda t: isinstance(t, tuple))
     new_m = jax.tree.map(lambda t: t[1], out, is_leaf=lambda t: isinstance(t, tuple))
     new_v = jax.tree.map(lambda t: t[2], out, is_leaf=lambda t: isinstance(t, tuple))

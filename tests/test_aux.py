@@ -212,6 +212,74 @@ class TestUtils:
 
 
 class TestSweepResume:
+    def test_chunked_fit_matches_monolithic_and_resumes(self, tmp_path):
+        """Epoch-chunked fit == monolithic fit EXACTLY; a killed run resumes
+        at the last segment boundary and still matches."""
+        import jax
+        import jax.numpy as jnp
+
+        from mmtpu.data.pipeline import prepare_device_data
+        from mmtpu.data.synthetic import synthesize_dataset
+        from mmtpu.io.checkpoint import Checkpointer
+        from mmtpu.models.decoder import NORM_CODES, init_decoder
+        from mmtpu.train.chunked import fit_latents_checkpointed
+        from mmtpu.train.latents import LatentFitSpec, fit_latents, train_view
+        from mmtpu.train.optim import OPT_CODES
+
+        ds = synthesize_dataset("mosi", n_train=20, n_valid=6, n_test=6,
+                                vocab_size=40, embed_dim=8, audio_dim=4,
+                                visual_dim=3)
+        prep = prepare_device_data(ds, pos_embed_dim=0)
+        data = {k: jnp.asarray(v)
+                for k, v in train_view(prep.splits["train"]).items()}
+        vocab = jnp.asarray(prep.vocab_embeddings)
+        init_e = jnp.asarray(prep.sif_init["train"])
+        dec = init_decoder(jax.random.key(1), 8, 4, 3, unimodal=False)
+        hp = {"lr": jnp.float32(1e-3), "word_loss_weight": jnp.float32(0.001),
+              "opt_code": jnp.int32(OPT_CODES["adam"]),
+              "norm_code": jnp.int32(NORM_CODES["layer_norm"]),
+              "n_epochs": jnp.int32(7)}
+        spec = LatentFitSpec(n_epochs_max=7, batch_size=8, train_decoder=True,
+                             unimodal=False)
+        rng = jax.random.key(0)
+        e_mono, dec_mono, l_mono = jax.jit(fit_latents, static_argnums=(6,))(
+            rng, init_e, dec, data, vocab, hp, spec)
+
+        # chunked, uninterrupted (3-epoch segments + a 1-epoch tail)
+        e_c, dec_c, l_c = fit_latents_checkpointed(
+            rng, init_e, dec, data, vocab, hp, spec, segment_epochs=3)
+        np.testing.assert_array_equal(np.asarray(e_c), np.asarray(e_mono))
+        np.testing.assert_array_equal(np.asarray(l_c), np.asarray(l_mono))
+        for a, b in zip(jax.tree.leaves(dec_c), jax.tree.leaves(dec_mono)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # kill/restart: die right after the first segment checkpoint, then
+        # resume — must skip epochs 0-2 and still equal the monolithic fit
+        ck_dir2 = str(tmp_path / "fitck2")
+        ck3 = Checkpointer(ck_dir2)
+        # save only the first segment by monkeypatching save to stop after 1
+        calls = {"n": 0}
+        orig_save = ck3.save
+
+        def save_once(step, tree, extra=None):
+            calls["n"] += 1
+            out = orig_save(step, tree, extra)
+            if calls["n"] == 1:
+                raise KeyboardInterrupt  # simulate a kill mid-run
+            return out
+
+        ck3.save = save_once
+        with pytest.raises(KeyboardInterrupt):
+            fit_latents_checkpointed(rng, init_e, dec, data, vocab, hp, spec,
+                                     checkpointer=ck3, segment_epochs=3)
+        ck3.save = orig_save
+        assert ck3.latest_step() == 3
+        e_r, dec_r, l_r = fit_latents_checkpointed(
+            rng, init_e, dec, data, vocab, hp, spec, checkpointer=ck3,
+            segment_epochs=3, verbose=True)
+        np.testing.assert_array_equal(np.asarray(e_r), np.asarray(e_mono))
+        np.testing.assert_array_equal(np.asarray(l_r), np.asarray(l_mono))
+
     def test_resume_skips_completed_chunks(self, tmp_path):
         from mmtpu.data.pipeline import prepare_device_data
         from mmtpu.data.synthetic import synthesize_dataset
@@ -221,8 +289,7 @@ class TestSweepResume:
         ds = synthesize_dataset("mosi", n_train=24, n_valid=8, n_test=10,
                                 vocab_size=50, embed_dim=12, audio_dim=5,
                                 visual_dim=4)
-        prep = prepare_device_data(ds, pos_embed_dim=4, pos_mode="shared",
-                                   pos_max_dim=4)
+        prep = prepare_device_data(ds, pos_mode="shared", pos_dims=(2, 4))
         cfgs = _grid4()
         ck = str(tmp_path / "ck")
         r1 = run_sweep(cfgs, prep, batch_size=8, chunk_size=2, verbose=False,

@@ -144,6 +144,114 @@ def test_fit_e2e_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(got_embed), want_embed, atol=2e-4)
 
 
+def test_fit_e2e_freeze_weights_matches_torch(rng):
+    """freeze_weights in e2e: the reference puts every gen_model parameter in
+    the optimizer but freeze_weights() sets requires_grad=False on the
+    embed2out linears only (simplesif.py:689-691, models.py:170-178) — heads
+    stay at init while embeddings + sentiment keep training.  mmtpu's
+    hp["train_heads"]=0 gate must reproduce the torch trajectory."""
+    d = _make_tiny(rng)
+    n, D = d["init_embed"].shape
+    A, Vis = d["audio"].shape[-1], d["visual"].shape[-1]
+    y = rng.standard_normal(n).astype(np.float32)
+    n_epochs, bsz, lr, wlw, lw = 3, 5, 1e-3, 0.002, 0.0001
+
+    dims = {h: head_dims(h, D, A, Vis) for h in MMB2_HEADS}
+    torch.manual_seed(5)
+    tm = TorchRefMMB(MMB2_HEADS, D, dims)
+    sm = TorchSenti(D, 4, 1)
+    dec_jax = _copy_decoder_to_jax(tm, D)
+    senti_jax = _copy_senti_to_jax(sm)
+
+    # reference freeze: heads detached, but still handed to the optimizer
+    for p in tm.parameters():
+        p.requires_grad = False
+
+    vocab_t = torch.tensor(d["vocab"])
+    ids_t = torch.tensor(d["ids"], dtype=torch.long)
+    se_all = vocab_t[ids_t]
+    ww_all = torch.tensor(d["vw"])[ids_t]
+    tok_m = torch.tensor(d["token_mask"])
+    audio, visual = torch.tensor(d["audio"]), torch.tensor(d["visual"])
+    am, vm = torch.tensor(d["audio_mask"]), torch.tensor(d["visual_mask"])
+    y_t = torch.tensor(y)
+    embed = torch.tensor(d["init_embed"].copy())
+    embed.requires_grad = True
+    opt = torch.optim.SGD([embed] + list(tm.parameters()) + list(sm.parameters()),
+                          lr=lr)
+    loss_fn = torch.nn.L1Loss(reduction="none")
+    want_losses = []
+    for _ in range(n_epochs):
+        ep = 0.0
+        for s in range(0, n, bsz):
+            j = torch.arange(s, min(s + bsz, n))
+            opt.zero_grad()
+            out = tm(embed[j])
+            text = se_all[j]
+            data = {
+                "audio": audio[j], "visual": visual[j],
+                "audiovisual": torch.cat([audio[j], visual[j]], -1),
+                "textaudio": torch.cat([text, audio[j]], -1),
+                "textvisual": torch.cat([text, visual[j]], -1),
+                "textaudiovisual": torch.cat([text, audio[j], visual[j]], -1),
+            }
+            tm3 = tok_m[j].unsqueeze(-1).expand_as(text)
+            masks = {
+                "audio": am[j], "visual": vm[j],
+                "audiovisual": torch.cat([am[j], vm[j]], -1),
+                "textaudio": torch.cat([tm3, am[j]], -1),
+                "textvisual": torch.cat([tm3, vm[j]], -1),
+                "textaudiovisual": torch.cat([tm3, am[j], vm[j]], -1),
+            }
+            word_lp = _torch_word_logprob(embed[j], vocab_t, ww_all[j],
+                                          se_all[j], tok_m[j])
+            lps = [_torch_gauss(out[h]["mu"], out[h]["sigma"], data[h], masks[h])
+                   for h in MMB2_HEADS]
+            other = (1.0 - wlw) / len(lps)
+            log_prob = -(sum(lps) * other + wlw * word_lp)
+            senti_loss = loss_fn(sm(embed[j]), y_t[j]).mean(dim=-1)
+            loss = lw * log_prob + (1 - lw) * senti_loss
+            loss.mean().backward()
+            opt.step()
+            ep += float(loss.mean())
+        want_losses.append(ep)
+    want_embed = embed.detach().numpy()
+
+    ids = jnp.asarray(d["ids"])
+    vocab = jnp.asarray(d["vocab"])
+    text = vocab[ids]
+    data_j = {
+        "text": text, "text_weights": jnp.asarray(d["vw"])[ids],
+        "text_mask": jnp.asarray(d["token_mask"]), "text_gauss": text,
+        "text_gauss_mask": jnp.asarray(d["token_mask"]),
+        "audio": jnp.asarray(d["audio"]), "audio_mask": jnp.asarray(d["audio_mask"]),
+        "visual": jnp.asarray(d["visual"]), "visual_mask": jnp.asarray(d["visual_mask"]),
+    }
+    hp = {
+        "lr": jnp.float32(lr), "word_loss_weight": jnp.float32(wlw),
+        "likelihood_weight": jnp.float32(lw),
+        "opt_code": jnp.int32(0), "norm_code": jnp.int32(0),
+        "n_epochs": jnp.int32(n_epochs),
+        "train_heads": jnp.float32(0.0),
+    }
+    spec = E2EFitSpec(n_epochs_max=n_epochs, batch_size=bsz, unimodal=False,
+                      shuffle=False)
+    got_embed, got_dec, _, got_losses = fit_e2e(
+        jax.random.key(0), jnp.asarray(d["init_embed"]), dec_jax, senti_jax,
+        data_j, jnp.asarray(y), vocab, hp, spec,
+    )
+    np.testing.assert_allclose(np.asarray(got_losses), np.asarray(want_losses),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_embed), want_embed, atol=2e-4)
+    # heads must be exactly at init
+    for h in MMB2_HEADS:
+        for k in ("w_mu", "b_mu", "w_log_sigma", "b_log_sigma"):
+            np.testing.assert_array_equal(
+                np.asarray(got_dec["heads"][h][k]),
+                np.asarray(dec_jax["heads"][h][k]),
+            )
+
+
 def test_fit_sentiment_matches_torch(rng):
     """No-early-stopping path vs sentiment_model.py:98-111 (SGD, L1)."""
     n, D, H = 17, 6, 4

@@ -194,10 +194,10 @@ def test_suff_stats_sweep_matches_raw():
         "mosi", n_train=24, n_valid=8, n_test=10, vocab_size=50,
         embed_dim=12, audio_dim=5, visual_dim=4,
     )
-    prep_raw = prepare_device_data(ds, pos_embed_dim=4, pos_mode="shared",
-                                   pos_max_dim=4, suff_stats=False)
-    prep_st = prepare_device_data(ds, pos_embed_dim=4, pos_mode="shared",
-                                  pos_max_dim=4, suff_stats=True)
+    prep_raw = prepare_device_data(ds, pos_mode="shared", pos_dims=(2, 4),
+                                   suff_stats=False)
+    prep_st = prepare_device_data(ds, pos_mode="shared", pos_dims=(2, 4),
+                                  suff_stats=True)
     cfgs = _grid4()[:2]
     r_raw = run_sweep(cfgs, prep_raw, batch_size=8, verbose=False)
     r_st = run_sweep(cfgs, prep_st, batch_size=8, verbose=False)
@@ -218,10 +218,11 @@ def test_closed_form_server(tmp_path):
     prep = _tiny_prep(pos=0, suff_stats=False)
     dec = init_decoder(jax.random.key(0), 16, 6, 5, unimodal=False)
     senti = init_sentiment(jax.random.key(1), 16, 8, 1)
-    server = ClosedFormServer(dec, batch_sizes=(4, 16), sentiment_params=senti)
+    server = ClosedFormServer(dec, batch_sizes=(4, 16), sentiment_params=senti,
+                              word_embeddings=prep.vocab_embeddings)
     te = prep.splits["test"]
     req = {k: np.asarray(te[k]) for k in
-           ("text", "text_weights", "text_gauss", "audio", "visual")}
+           ("text_ids", "text_weights", "text_gauss", "audio", "visual")}
     server.warmup({k: v[:2] for k, v in req.items()})
     lat, pred = server(req)  # 12 rows → padded to 16
     assert lat.shape == (12, 16)

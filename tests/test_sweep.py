@@ -14,14 +14,12 @@ from mmtpu.sweep import run_sweep
 from mmtpu.sweep.pack import pack_configs, statics_from_configs
 
 
-def _tiny_prep(pos_max=4, name="mosi"):
+def _tiny_prep(pos_dims=(2, 4), name="mosi"):
     ds = synthesize_dataset(
         name, n_train=24, n_valid=8, n_test=10, vocab_size=50,
         embed_dim=12, audio_dim=5, visual_dim=4,
     )
-    return prepare_device_data(
-        ds, pos_embed_dim=pos_max, pos_mode="shared", pos_max_dim=pos_max
-    )
+    return prepare_device_data(ds, pos_mode="shared", pos_dims=pos_dims)
 
 
 def _grid4():
@@ -49,10 +47,12 @@ class TestPack:
         cfgs = _grid4()
         statics = statics_from_configs(cfgs, batch_size=8)
         hp = pack_configs(cfgs, statics)
-        assert statics.pos_max == 4 and statics.hidden_max == 12
+        # block layout: (2, 4) → width 6; each config selects its OWN block
+        assert statics.pos_dims == (2, 4)
+        assert statics.pos_max == 6 and statics.hidden_max == 12
         assert statics.n_epochs_max == 3
-        np.testing.assert_array_equal(hp["pos_mask"][0], [1, 1, 0, 0])
-        np.testing.assert_array_equal(hp["pos_mask"][1], [1, 1, 1, 1])
+        np.testing.assert_array_equal(hp["pos_mask"][0], [1, 1, 0, 0, 0, 0])
+        np.testing.assert_array_equal(hp["pos_mask"][1], [0, 0, 1, 1, 1, 1])
         assert hp["opt_code"].tolist() == [0, 1, 1, 0]
 
     def test_mixed_modes_rejected(self):
@@ -97,7 +97,7 @@ class TestSweep:
         not change any result — proves the channel-mask padding mechanism."""
         prep = _tiny_prep()
         cfgs = _grid4()[:2]
-        cfgs[1]["pos_embed_dim"] = 2  # both configs use 2 of 4 channels
+        cfgs[1]["pos_embed_dim"] = 2  # both configs use only the dim-2 block
 
         from mmtpu.sweep import runner as R
         orig_init = R.init_decoder
@@ -105,7 +105,8 @@ class TestSweep:
 
         def poisoned_init(key, embed_dim, audio_dim, visual_dim, **kw):
             p = orig_init(key, embed_dim, audio_dim, visual_dim, **kw)
-            # audio head layout: [audio(5+4pos)] — poison the last 2 pos cols
+            # audio head layout: [audio(5) + pos table (2+4 blocks)] — poison
+            # the last 2 cols (tail of the dim-4 block, masked for both cfgs)
             for hname, h in p["heads"].items():
                 w = h["w_mu"]
                 h["w_mu"] = w.at[:, -2:].set(1e3) if hname == "audio" else w
@@ -123,6 +124,70 @@ class TestSweep:
         np.testing.assert_allclose(
             r_clean.metrics["mae"], r_poisoned.metrics["mae"], rtol=1e-6
         )
+
+    def test_pos_block_layout_equivalence(self):
+        """A config selecting its block from a multi-block shared table is
+        EXACTLY equivalent to a standalone run with baked pos channels, once
+        the baked decoder's weights are embedded at the block's offsets (the
+        old shared-frequency scheme fails this for dim sets like (3, 4, 8)
+        because blocks carry each dim's own channel frequencies)."""
+        from mmtpu.data.pipeline import (
+            _np_positional_encoding,
+            prepare_device_data,
+        )
+        from mmtpu.data.synthetic import synthesize_dataset
+        from mmtpu.models.decoder import init_decoder
+        from mmtpu.models.decoder import NORM_CODES
+        from mmtpu.train.latents import LatentFitSpec, fit_latents, train_view
+        from mmtpu.train.optim import OPT_CODES
+
+        ds = synthesize_dataset(
+            "mosi", n_train=24, n_valid=8, n_test=10, vocab_size=50,
+            embed_dim=12, audio_dim=5, visual_dim=4,
+        )
+        prep_baked = prepare_device_data(ds, pos_embed_dim=4, pos_mode="baked")
+        prep_shared = prepare_device_data(ds, pos_mode="shared",
+                                          pos_dims=(3, 4, 8))
+        # the dim-4 block inside the multi table IS the standalone encoding
+        np.testing.assert_array_equal(
+            prep_shared.pos_table[:, 3:7], _np_positional_encoding(20, 4)
+        )
+        key = jax.random.key(7)
+        dec_n = init_decoder(key, 12, 5 + 4, 4 + 4, unimodal=True)  # baked dims
+        dec_w = init_decoder(key, 12, 5 + 15, 4 + 15, unimodal=True)
+        # embed the narrow decoder's columns at the dim-4 block's offset (3)
+        for head, base in (("audio", 5), ("visual", 4)):
+            for k in ("w_mu", "b_mu", "w_log_sigma", "b_log_sigma"):
+                nv, wv = dec_n["heads"][head][k], dec_w["heads"][head][k]
+                wv = wv.at[..., :base].set(nv[..., :base])
+                wv = wv.at[..., base + 3 : base + 7].set(nv[..., base:])
+                dec_w["heads"][head][k] = wv
+        dec_w["norm"] = dec_n["norm"]
+
+        hp = {"lr": jnp.float32(1e-3), "word_loss_weight": jnp.float32(0.001),
+              "opt_code": jnp.int32(OPT_CODES["sgd"]),
+              "norm_code": jnp.int32(NORM_CODES["layer_norm"]),
+              "n_epochs": jnp.int32(3)}
+        spec = LatentFitSpec(n_epochs_max=3, batch_size=8, train_decoder=True,
+                             unimodal=True)
+        vocab = jnp.asarray(prep_baked.vocab_embeddings)
+        init_e = jnp.asarray(prep_baked.sif_init["train"])
+        rng = jax.random.key(11)
+
+        def run(prep, dec, block_sel=None):
+            data = train_view(prep.splits["train"])
+            data = {k: jnp.asarray(v) for k, v in data.items()}
+            if block_sel is not None:
+                pm = np.zeros(prep.pos_table.shape[-1], np.float32)
+                pm[3:7] = 1.0  # the dim-4 block
+                data["pos_mask"] = jnp.asarray(pm)
+            e, _, losses = fit_latents(rng, init_e, dec, data, vocab, hp, spec)
+            return np.asarray(e), np.asarray(losses)
+
+        e_baked, l_baked = run(prep_baked, dec_n)
+        e_shared, l_shared = run(prep_shared, dec_w, block_sel=4)
+        np.testing.assert_allclose(l_shared, l_baked, rtol=1e-5)
+        np.testing.assert_allclose(e_shared, e_baked, rtol=1e-4, atol=1e-6)
 
     def test_hidden_padding_equivalence(self):
         """Zero-padded hidden units stay dead: padded MLP == unpadded MLP
@@ -170,10 +235,163 @@ class TestSweep:
             res.final_train_loss, res1.final_train_loss, rtol=1e-4
         )
 
+    def test_validation_curve(self):
+        """Opt-in recursive validation curves per config (e2e bucket), NaN
+        between sampling points, one final sample appended."""
+        prep = _tiny_prep()
+        cfgs = _grid4()[:2]
+        res = run_sweep(cfgs, prep, batch_size=8, verbose=False,
+                        validation_curve=True)
+        vc = res.metrics["valid_curve"]
+        n_max = max(c["n_epochs"] for c in cfgs)
+        assert vc.shape == (2, n_max + 1)
+        # epoch 0 is always a sampling point; the appended final sample too
+        assert np.isfinite(vc[:, 0]).all()
+        assert np.isfinite(vc[:, -1]).all()
+
     def test_pom_sweep(self):
         prep = _tiny_prep(name="pom")
         res = run_sweep(_grid4(), prep, batch_size=8, verbose=False)
         assert res.metrics["mae"].shape == (4, 17)
+
+    def test_pom_sweep_real_token_length(self):
+        """POM's real blobs carry transcript rows up to 1357 tokens
+        (pom_test_ids.npy) — the ids-based word-likelihood stream must handle
+        L >= 1024 without materializing an (N, L, D) tensor."""
+        ds = synthesize_dataset(
+            "pom", n_train=16, n_valid=6, n_test=8, vocab_size=60,
+            embed_dim=12, audio_dim=5, visual_dim=4, text_len=1280,
+        )
+        prep = prepare_device_data(ds, pos_mode="shared", pos_dims=(2, 4))
+        tr = prep.splits["train"]
+        assert tr["text_ids"].shape == (16, 1280)
+        assert tr["text_ids"].dtype == np.int32
+        # nothing (N, L, D)-shaped may exist in the per-step data dict
+        from mmtpu.train.latents import train_view
+
+        for k, v in train_view(tr).items():
+            assert v.ndim < 3 or v.shape[1] != 1280, (k, v.shape)
+        res = run_sweep(_grid4()[:2], prep, batch_size=8, verbose=False)
+        assert res.metrics["mae"].shape == (2, 17)
+        assert np.isfinite(res.final_train_loss).all()
+
+
+class TestFreezeWeights:
+    def _fit_inputs(self):
+        from mmtpu.models.decoder import NORM_CODES, init_decoder
+        from mmtpu.train.latents import train_view
+        from mmtpu.train.optim import OPT_CODES
+
+        prep = _tiny_prep(pos_dims=None)
+        data = {k: jnp.asarray(v)
+                for k, v in train_view(prep.splits["train"]).items()}
+        vocab = jnp.asarray(prep.vocab_embeddings)
+        init_e = jnp.asarray(prep.sif_init["train"])
+        dec = init_decoder(jax.random.key(5), prep.embed_dim, prep.audio_dim,
+                           prep.visual_dim, unimodal=True)
+        hp = {"lr": jnp.float32(1e-3), "word_loss_weight": jnp.float32(0.001),
+              "opt_code": jnp.int32(OPT_CODES["adam"]),
+              "norm_code": jnp.int32(NORM_CODES["layer_norm"]),
+              "n_epochs": jnp.int32(3)}
+        return data, vocab, init_e, dec, hp
+
+    @pytest.mark.parametrize("opt_kind", [None, "sgd", "adam"])
+    def test_gate_matches_static_freeze(self, opt_kind):
+        """hp["train_dec"]=0 under train_decoder=True == static
+        train_decoder=False, exactly (the sweep's per-config freeze path vs
+        the standalone runner's static path)."""
+        from mmtpu.train.latents import LatentFitSpec, fit_latents
+        from mmtpu.train.optim import OPT_CODES
+
+        data, vocab, init_e, dec, hp = self._fit_inputs()
+        if opt_kind == "sgd":
+            hp["opt_code"] = jnp.int32(OPT_CODES["sgd"])
+        rng = jax.random.key(9)
+        s_gated = LatentFitSpec(n_epochs_max=3, batch_size=8,
+                                train_decoder=True, unimodal=True,
+                                opt_kind=opt_kind)
+        s_static = LatentFitSpec(n_epochs_max=3, batch_size=8,
+                                 train_decoder=False, unimodal=True,
+                                 opt_kind=opt_kind)
+        hp_gated = dict(hp, train_dec=jnp.float32(0.0))
+        e1, dec1, l1 = fit_latents(rng, init_e, dec, data, vocab, hp_gated,
+                                   s_gated)
+        e2, dec2, l2 = fit_latents(rng, init_e, dec, data, vocab, hp, s_static)
+        np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+        for a, b in zip(jax.tree.leaves(dec1), jax.tree.leaves(dec)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_e2e_freeze_heads_norm_trains(self):
+        """e2e freeze: heads pinned at init, the norm affine params keep
+        training (reference quirk — see mmtpu.train.e2e)."""
+        from mmtpu.models.decoder import NORM_CODES, init_decoder
+        from mmtpu.train.e2e import E2EFitSpec, fit_e2e
+        from mmtpu.train.latents import train_view
+        from mmtpu.models.sentiment import init_sentiment
+
+        data, vocab, init_e, dec, hp = self._fit_inputs()
+        labels = jnp.asarray(np.linspace(-2, 2, init_e.shape[0], dtype=np.float32))
+        senti = init_sentiment(jax.random.key(2), init_e.shape[1], 4, 1)
+        hp = dict(hp, likelihood_weight=jnp.float32(0.0001),
+                  train_heads=jnp.float32(0.0), lr=jnp.float32(1e-2))
+        spec = E2EFitSpec(n_epochs_max=3, batch_size=8, unimodal=True)
+        _, dec2, _, _ = fit_e2e(jax.random.key(1), init_e, dec, senti, data,
+                                labels, vocab, hp, spec)
+        for k in ("w_mu", "b_mu", "w_log_sigma", "b_log_sigma"):
+            np.testing.assert_array_equal(
+                np.asarray(dec2["heads"]["audio"][k]),
+                np.asarray(dec["heads"]["audio"][k]),
+            )
+        assert not np.array_equal(np.asarray(dec2["norm"]["scale"]),
+                                  np.asarray(dec["norm"]["scale"]))
+
+    def test_sweep_honors_freeze_weights(self):
+        """A freeze_weights config inside a mixed sweep chunk equals its own
+        1-config sweep (fold_in keying makes results layout-independent) and
+        differs from the unfrozen twin."""
+        prep = _tiny_prep()
+        frozen = dict(_grid4()[0], freeze_weights=True, config_num=0)
+        free = dict(_grid4()[0], freeze_weights=False, config_num=1)
+        r_solo = run_sweep([frozen], prep, batch_size=8, verbose=False)
+        r_mixed = run_sweep([frozen, free], prep, batch_size=8, verbose=False)
+        np.testing.assert_allclose(r_solo.final_train_loss[0],
+                                   r_mixed.final_train_loss[0], rtol=1e-6)
+        np.testing.assert_allclose(r_solo.metrics["mae"][0],
+                                   r_mixed.metrics["mae"][0], rtol=1e-6)
+        # freezing must actually change the trajectory vs the unfrozen twin
+        # (same config otherwise, same fold_in uid inputs except config_num —
+        # so compare via a same-config_num unfrozen solo run)
+        r_free = run_sweep([dict(free, config_num=0)], prep, batch_size=8,
+                           verbose=False)
+        assert (r_free.final_train_loss[0] != r_solo.final_train_loss[0])
+
+
+class TestSemiSup:
+    def test_all_ones_mask_is_identity(self):
+        prep = _tiny_prep()
+        cfgs = _grid4()[:2]
+        n = prep.labels["train"].shape[0]
+        r_none = run_sweep(cfgs, prep, batch_size=8, verbose=False)
+        r_ones = run_sweep(cfgs, prep, batch_size=8, verbose=False,
+                           senti_mask=np.ones(n, np.float32))
+        np.testing.assert_array_equal(r_none.final_train_loss,
+                                      r_ones.final_train_loss)
+        np.testing.assert_array_equal(r_none.metrics["mae"],
+                                      r_ones.metrics["mae"])
+
+    def test_partial_mask_changes_results(self):
+        prep = _tiny_prep()
+        cfgs = _grid4()[:1]
+        n = prep.labels["train"].shape[0]
+        mask = np.zeros(n, np.float32)
+        mask[: n // 2] = 1.0
+        r_full = run_sweep(cfgs, prep, batch_size=8, verbose=False)
+        r_semi = run_sweep(cfgs, prep, batch_size=8, verbose=False,
+                           senti_mask=mask)
+        assert np.isfinite(r_semi.final_train_loss).all()
+        assert np.isfinite(r_semi.metrics["mae"]).all()
+        assert r_semi.final_train_loss[0] != r_full.final_train_loss[0]
 
 
 class TestCollectives:
