@@ -164,8 +164,10 @@ def main() -> None:
 
 
 def _sweep_rate(prep, file=sys.stderr) -> None:
-    """Optional: full-pipeline in-process sweep rate (configs/hour)."""
-    import time as _t
+    """Optional: full-pipeline in-process sweep rate (configs/hour) + the
+    sweep-mode MFU (the production path — K vmapped configs multiply every
+    matmul's effective batch)."""
+    import jax
 
     from mmtpu.config import make_grid
     from mmtpu.data.pipeline import prepare_device_data
@@ -180,9 +182,24 @@ def _sweep_rate(prep, file=sys.stderr) -> None:
     cfgs = make_grid()[:16]
     res = run_sweep(cfgs, prep, batch_size=64, chunk_size=16, verbose=False)
     rate = res.n_configs / res.wall_time_s * 3600
+
+    # sweep-mode MFU: count the training-phase matmul FLOPs actually run
+    # (e2e train at each config's n_epochs + 2 inference fits at n_epochs,
+    # batch 64 train / 512 infer, 1284/229/686 rows)
+    step = lambda B, V: model_flops_per_step(B, V, 300, 20, 74 + 6, 47 + 6)
+    flops = 0.0
+    for c in cfgs:
+        ne = c["n_epochs"]
+        flops += step(64, 3016) * (-(-1284 // 64)) * ne  # train fit
+        flops += step(512, 3016) * (-(-229 // 512)) * ne  # valid fit
+        flops += step(512, 3016) * (-(-686 // 512)) * ne  # test fit
+    exec_s = res.wall_time_s - res.compile_time_s
+    peak = _peak_flops(jax.devices()[0])
     print(
         f"[bench] sweep: {res.n_configs} configs in {res.wall_time_s:.1f}s "
-        f"(compile {res.compile_time_s:.1f}s) → {rate:.0f} configs/hour",
+        f"(compile {res.compile_time_s:.1f}s) → {rate:.0f} configs/hour; "
+        f"~{flops / max(exec_s, 1e-9) / 1e12:.1f} TFLOP/s model "
+        f"= {flops / max(exec_s, 1e-9) / peak * 100:.1f}% MFU (exec time)",
         file=file,
     )
 
