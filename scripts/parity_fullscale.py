@@ -313,6 +313,9 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--smoke", action="store_true",
                    help="tiny shapes — validates the harness, not parity")
+    p.add_argument("--only", help="comma-separated config indices to run")
+    p.add_argument("--append", action="store_true",
+                   help="append to an existing --out instead of overwriting")
     p.add_argument("--out", default="PARITY_FULLSCALE.json")
     args = p.parse_args(argv)
 
@@ -333,7 +336,14 @@ def main(argv=None) -> int:
     D, A, V = prep.embed_dim, prep.audio_dim, prep.visual_dim
 
     rows = []
-    for ci, cfg in enumerate(CONFIGS[: args.configs]):
+    if args.append and os.path.isfile(args.out):
+        rows = json.load(open(args.out))["rows"]
+    indices = (
+        [int(i) for i in args.only.split(",")] if args.only
+        else list(range(min(args.configs, len(CONFIGS))))
+    )
+    for ci in indices:
+        cfg = CONFIGS[ci]
         cfg_full = dict(BASE, **cfg)
         print(f"[parity] config {ci}: {cfg['optimizer']} + {cfg['norm']}",
               flush=True)
@@ -349,27 +359,48 @@ def main(argv=None) -> int:
         print(f"[parity]   mmtpu: loss={got['final_train_loss']:.4f} "
               f"({got['fit_time_s']:.1f}s fit, {got['senti_time_s']:.1f}s "
               f"senti) metrics={got['metrics']}", flush=True)
-        want = run_reference(cfg_full, prep, gen_model, senti_model,
-                             args.n_epochs, args.senti_epochs, ref)
-        print(f"[parity]   reference: loss={want['final_train_loss']:.4f} "
-              f"({want['fit_time_s']:.1f}s fit, {want['senti_time_s']:.1f}s "
-              f"senti) metrics={want['metrics']}", flush=True)
+        try:
+            want = run_reference(cfg_full, prep, gen_model, senti_model,
+                                 args.n_epochs, args.senti_epochs, ref)
+            print(f"[parity]   reference: loss={want['final_train_loss']:.4f} "
+                  f"({want['fit_time_s']:.1f}s fit, {want['senti_time_s']:.1f}s"
+                  f" senti) metrics={want['metrics']}", flush=True)
+        except (SystemExit, ValueError, FloatingPointError) as e:
+            # the reference aborts the PROCESS on infinite losses
+            # (losses.py:258-264 sys.exit) — and its guard checks
+            # ``abs(min) == inf`` only, so NaN losses slip through and
+            # poison the pipeline until sklearn raises ValueError at metric
+            # time.  If mmtpu also went non-finite, that is divergence
+            # PARITY for this config (mmtpu records NaN per config instead
+            # of crashing — see mmtpu/runner.py).
+            want = None
+            print(f"[parity]   reference: diverged/crashed "
+                  f"({type(e).__name__}: {e})", flush=True)
 
-        deltas = {
-            s: float(np.max(np.abs(got["latents"][s] - want["latents"][s])))
-            for s in ("train", "valid", "test")
-        }
-        row = {
-            "config": cfg,
-            "n_epochs": args.n_epochs,
-            "ref_final_train_loss": want["final_train_loss"],
-            "mmtpu_final_train_loss": got["final_train_loss"],
-            "max_abs_latent_delta": deltas,
-            "ref_metrics": want["metrics"],
-            "mmtpu_metrics": got["metrics"],
-            "ref_fit_time_s": round(want["fit_time_s"], 1),
-            "mmtpu_fit_time_s": round(got["fit_time_s"], 1),
-        }
+        if want is None:
+            row = {
+                "config": cfg,
+                "n_epochs": args.n_epochs,
+                "ref_diverged_sys_exit": True,
+                "mmtpu_final_train_loss": got["final_train_loss"],
+                "mmtpu_diverged": not np.isfinite(got["final_train_loss"]),
+            }
+        else:
+            deltas = {
+                s: float(np.max(np.abs(got["latents"][s] - want["latents"][s])))
+                for s in ("train", "valid", "test")
+            }
+            row = {
+                "config": cfg,
+                "n_epochs": args.n_epochs,
+                "ref_final_train_loss": want["final_train_loss"],
+                "mmtpu_final_train_loss": got["final_train_loss"],
+                "max_abs_latent_delta": deltas,
+                "ref_metrics": want["metrics"],
+                "mmtpu_metrics": got["metrics"],
+                "ref_fit_time_s": round(want["fit_time_s"], 1),
+                "mmtpu_fit_time_s": round(got["fit_time_s"], 1),
+            }
         rows.append(row)
         json.dump({"rows": rows, "n_epochs": args.n_epochs,
                    "senti_epochs": args.senti_epochs, "seed": args.seed},
@@ -381,6 +412,11 @@ def main(argv=None) -> int:
     print("|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         c = r["config"]
+        if r.get("ref_diverged_sys_exit"):
+            print(f"| {c['optimizer']}+{c['norm']} | sys.exit(inf) "
+                  f"| {r['mmtpu_final_train_loss']} | — divergence parity "
+                  f"| | | | | | |")
+            continue
         rm, gm = r["ref_metrics"], r["mmtpu_metrics"]
         print(f"| {c['optimizer']}+{c['norm']} "
               f"| {r['ref_final_train_loss']:.4f} "
