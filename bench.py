@@ -105,10 +105,17 @@ def main() -> None:
         "norm_code": jnp.int32(NORM_CODES["layer_norm"]),
         "n_epochs": jnp.int32(n_epochs),
     }
+    partition_fn = None
+    if jax.default_backend() == "tpu":
+        # production default (mmtpu.sweep): the fused Pallas partition kernel
+        from mmtpu.kernels.angular import angular_partition_pallas
+
+        partition_fn = angular_partition_pallas
     spec = LatentFitSpec(
         n_epochs_max=n_epochs, batch_size=64, train_decoder=True,
         unimodal=False, word_metric="angular",
         opt_kind="sgd",  # static kind: sparse embedding updates (production path)
+        partition_fn=partition_fn,
     )
     fit = jax.jit(fit_latents, static_argnums=(6,))
 
@@ -118,12 +125,14 @@ def main() -> None:
     out = fit(jax.random.key(1), init_embed, dec, data, vocab, hp, spec)
     np.asarray(out[0])
     warm = time.time() - t0
-    # steady state
-    t0 = time.time()
-    out = fit(jax.random.key(2), init_embed, dec, data, vocab, hp, spec)
-    embed_out = np.asarray(out[0])
-    losses = np.asarray(out[2])
-    dt = time.time() - t0
+    # steady state: best of 3 (the relay adds multi-ms dispatch jitter)
+    dt = float("inf")
+    for i in range(3):
+        t0 = time.time()
+        out = fit(jax.random.key(2 + i), init_embed, dec, data, vocab, hp, spec)
+        embed_out = np.asarray(out[0])
+        losses = np.asarray(out[2])
+        dt = min(dt, time.time() - t0)
     utt_per_s = n_train * n_epochs / dt
     assert np.isfinite(losses).all(), "bench trajectory went non-finite"
     assert np.isfinite(embed_out).all()

@@ -43,8 +43,10 @@ def main(argv=None) -> int:
     parser.add_argument("--mesh", action="store_true",
                         help="shard the config axis across all devices")
     parser.add_argument("--pallas", action="store_true",
-                        help="fused Pallas angular-partition kernel (faster "
-                             "execution, slower compile — see run_sweep doc)")
+                        help="force the fused Pallas angular-partition kernel "
+                             "on (default: auto — on for TPU backends)")
+    parser.add_argument("--no_pallas", action="store_true",
+                        help="force the fused kernel off")
     parser.add_argument("--top_k_artifacts", type=int, default=0,
                         help="after the sweep, re-run the top-K configs "
                              "through the full runner to persist reference-"
@@ -128,7 +130,7 @@ def main(argv=None) -> int:
         checkpoint_dir=args.resume_dir,
         unroll=args.unroll,
         n_runs=args.n_runs,
-        use_pallas=args.pallas or None,
+        use_pallas=(False if args.no_pallas else (args.pallas or None)),
         senti_mask=mask,
         validation_curve=args.validation_curve,
     )

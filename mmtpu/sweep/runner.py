@@ -259,10 +259,11 @@ def run_sweep(
             (reference cadence 80 — simplesif.py:146-159/795-799) as a
             ``valid_curve`` column; expensive, mirrors the runner's
             ``--validation_curve``.
-        use_pallas: fused Pallas kernel for the angular partition —
-            ~10-15% faster execution but ~3x Mosaic compile time for the big
-            scan programs, so default off; worth it for long sweeps with a
-            warm compilation cache.
+        use_pallas: fused Pallas kernel for the angular partition.  None
+            (default) = on for TPU backends, off elsewhere; the ~13-29%
+            per-chunk execution savings recur while the one-time Mosaic
+            compile is amortized by the persistent compilation cache.
+            Pass False to force the unfused XLA path.
     """
     import dataclasses as _dc
 
@@ -276,10 +277,15 @@ def run_sweep(
     if validation_curve:
         statics = _dc.replace(statics, validation_curve=True)
     if use_pallas is None:
-        # measured: the fused kernel buys ~10-15% execution but ~3x Mosaic
-        # compile time inside the big scan programs — a net loss for cold
-        # runs, so it stays opt-in
-        use_pallas = False
+        # default ON for TPU backends: measured per-chunk execution savings
+        # of ~13% (adam buckets) / ~29% (sgd buckets) recur every chunk,
+        # while the extra Mosaic compile (~1-2 min across buckets) is paid
+        # once ever — the CLIs enable the persistent compilation cache, so
+        # subsequent processes reuse the compiled kernels (measured: 16-cfg
+        # sweep 96.7 s cold → 65.0 s warm, vs 66.9 s without the kernel)
+        import jax as _jax
+
+        use_pallas = _jax.default_backend() == "tpu"
     if use_pallas and statics.word_metric == "angular":
         statics = _dc.replace(statics, use_pallas=True)
     if statics.pos_max > 0:
