@@ -31,8 +31,7 @@ def main() -> None:
 
     # ---- 2. an in-process hyperparameter sweep ----
     ds = load_dataset("mosi")
-    prep = prepare_device_data(ds, pos_embed_dim=4, pos_mode="shared",
-                               pos_max_dim=4)
+    prep = prepare_device_data(ds, pos_mode="shared", pos_dims=(2, 4))
     grid = [
         dict(cfg.to_dict(), lr=lr, optimizer=opt, config_num=i,
              pos_embed_dim=2)

@@ -17,6 +17,11 @@ from mmtpu.parallel.collectives import (
     sharded_gaussian_logpdf,
 )
 from mmtpu.parallel.fit import fit_latents_mesh, make_fit_mesh
+from mmtpu.parallel.multihost import (
+    init_multihost,
+    run_sweep_multihost,
+    shard_configs,
+)
 
 __all__ = [
     "make_mesh",
@@ -26,4 +31,7 @@ __all__ = [
     "sharded_gaussian_logpdf",
     "fit_latents_mesh",
     "make_fit_mesh",
+    "init_multihost",
+    "run_sweep_multihost",
+    "shard_configs",
 ]

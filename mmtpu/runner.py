@@ -226,13 +226,14 @@ def run_experiment(
             batch_size=cfg.batch_size,
             unimodal=cfg.unimodal,
             word_metric=cfg.word_sim_metric,
+            valid_every=80 if validation_curve else 0,  # valid_niter*8
             partition_fn=partition_fn,
             opt_kind=cfg.optimizer,
         )
         # e2e freeze_weights: heads frozen, norm still trains (see
         # mmtpu.train.e2e — simplesif.py:689-691 vs models.py:170-178)
         e2e_hp = dict(hp, train_heads=jnp.float32(not cfg.freeze_weights))
-        train_embed, decoder, _, train_losses = _fit_e2e(
+        out = _fit_e2e(
             k_fit,
             jnp.asarray(prep.sif_init["train"]),
             decoder,
@@ -243,7 +244,16 @@ def run_experiment(
             e2e_hp,
             espec,
             senti_mask=None if semi_mask is None else jnp.asarray(semi_mask),
+            validation=(
+                (jnp.asarray(prep.sif_init["valid"]),
+                 train_view(prep.splits["valid"]))
+                if validation_curve else None
+            ),
         )
+        if validation_curve:
+            train_embed, decoder, _, train_losses, valid_curve = out
+        else:
+            train_embed, decoder, _, train_losses = out
     else:
         spec = LatentFitSpec(
             n_epochs_max=cfg.n_epochs,
@@ -303,7 +313,7 @@ def run_experiment(
 
     if store is not None:
         store.save_losses("embed_loss", np.asarray(train_losses))
-        if not cfg.e2e and validation_curve and valid_curve is not None:
+        if validation_curve and valid_curve is not None:
             vc = np.asarray(valid_curve)
             store.save_losses("embed_valid_loss", vc[np.isfinite(vc)])
         else:

@@ -87,10 +87,16 @@ class ClosedFormServer:
             # everything — gather, concatenation, estimation, prediction — is
             # ONE compiled program: a single device dispatch per request
             data = assemble_head_data(streams, self.heads)
-            sent = (
-                streams["text"] if "text" in streams
-                else self._vocab[streams["text_ids"]]
-            )
+            if "text" in streams:
+                sent = streams["text"]
+            else:
+                if self._vocab is None:
+                    raise ValueError(
+                        "request carries text_ids but the server was built "
+                        "without word_embeddings — pass the (V, D) vocab "
+                        "table at construction, or send pre-gathered 'text'"
+                    )
+                sent = self._vocab[streams["text_ids"]]
             lat = closed_form_latents(
                 data, self._head_params, streams["text_weights"], sent
             )

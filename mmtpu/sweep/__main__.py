@@ -197,6 +197,7 @@ def main(argv=None) -> int:
                 raw, dataset=args.dataset, batch_size=args.batch_size,
                 unimodal=args.unimodal or None, emotion=args.emotion,
                 config_name=args.name, seed=args.seed,
+                semi_sup_idxes=args.semi_sup_idxes or None,
             )
             run_experiment(cfg, data_dir=args.data_dir, run_idx=rec["run"],
                            verbose=False)

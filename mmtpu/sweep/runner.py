@@ -422,6 +422,39 @@ def run_sweep(
             metrics_out[mk][positions] = mv[:n_real]
 
     sweep_fns: Dict[str, object] = {}
+
+    # one-chunk-deep software pipeline: chunk k's results are materialized
+    # (device→host transfer, scatter, checkpoint write) while chunk k+1 is
+    # already executing on the device — the host never sits between the
+    # device and the next dispatch.
+    pending = None  # (positions, out, chunk_id, wi, kind)
+
+    def drain(p):
+        positions, out, chunk_id, wi, kind = p
+        chunk_loss = np.asarray(out["final_train_loss"])  # blocks on the chunk
+        chunk_metrics = {mk: np.asarray(mv) for mk, mv in out["metrics"].items()}
+        if "valid_curve" in out:
+            chunk_metrics["valid_curve"] = np.asarray(out["valid_curve"])
+        scatter_results(positions, chunk_loss, chunk_metrics)
+        if state_path is not None:
+            np.savez(
+                _os.path.join(checkpoint_dir, f"chunk_{chunk_id}.npz"),
+                final_train_loss=chunk_loss,
+                **chunk_metrics,
+            )
+            done_chunks[chunk_id] = {}  # mark complete (data already merged)
+            tmp = state_path + ".tmp"
+            _json.dump(
+                {"n_configs": k_total, "chunk": chunk,
+                 "fingerprint": fingerprint,
+                 "chunks": sorted(done_chunks)},
+                open(tmp, "w"),
+            )
+            _os.replace(tmp, state_path)
+        if verbose:
+            print(f"[sweep] chunk {wi + 1}/{n_chunks} [{kind}] done "
+                  f"({len(positions)} configs, {time.time() - t0:.1f}s)")
+
     for wi, (chunk_id, kind, positions) in enumerate(work):
         if chunk_id in done_chunks:
             saved = done_chunks[chunk_id]
@@ -489,6 +522,11 @@ def run_sweep(
 
         try:
             if kind not in sweep_fns:
+                # compile path: drain outstanding work first so compile-time
+                # accounting isn't polluted by a still-executing prior chunk
+                if pending is not None:
+                    drain(pending)
+                    pending = None
                 sweep_fns[kind] = build_sweep_fn(
                     bucket_statics, labels, vocab, prep.name,
                     return_embeddings=return_embeddings,
@@ -500,9 +538,13 @@ def run_sweep(
                 jax.block_until_ready(out["final_train_loss"])
                 compile_time += time.time() - tc
             else:
+                # steady state: dispatch is async — materialize the PREVIOUS
+                # chunk while this one executes (one-chunk-deep pipeline)
                 out = sweep_fns[kind](rngs, init_embeds, dec_stack, senti_stack,
                                       hp, s_hp, dtr, dva, dte)
-                jax.block_until_ready(out["final_train_loss"])
+                if pending is not None:
+                    drain(pending)
+                    pending = None
         except jax.errors.JaxRuntimeError:
             # a too-wide dispatch (HBM or relay-timeout) — retry the whole
             # sweep at half the chunk width (checkpointed chunks of the old
@@ -523,29 +565,25 @@ def run_sweep(
                 validation_curve=validation_curve,
             )
 
-        chunk_loss = np.asarray(out["final_train_loss"])
-        chunk_metrics = {mk: np.asarray(mv) for mk, mv in out["metrics"].items()}
-        if "valid_curve" in out:
-            chunk_metrics["valid_curve"] = np.asarray(out["valid_curve"])
-        scatter_results(positions, chunk_loss, chunk_metrics)
-        if state_path is not None:
-            np.savez(
-                _os.path.join(checkpoint_dir, f"chunk_{chunk_id}.npz"),
-                final_train_loss=chunk_loss,
-                **chunk_metrics,
+        pending = (positions, out, chunk_id, wi, kind)
+
+    if pending is not None:
+        try:
+            drain(pending)
+        except jax.errors.JaxRuntimeError:
+            if chunk <= 2:
+                raise
+            if verbose:
+                print(f"[sweep] chunk width {chunk} failed on device — "
+                      f"retrying the sweep at width {chunk // 2}")
+            return run_sweep(
+                configs, prep, batch_size=batch_size, unimodal=unimodal,
+                seed=seed, chunk_size=chunk // 2, mesh=mesh,
+                return_embeddings=return_embeddings, verbose=verbose,
+                checkpoint_dir=checkpoint_dir, unroll=unroll,
+                use_pallas=use_pallas, senti_mask=senti_mask,
+                validation_curve=validation_curve,
             )
-            done_chunks[chunk_id] = {}  # mark complete (data already merged)
-            tmp = state_path + ".tmp"
-            _json.dump(
-                {"n_configs": k_total, "chunk": chunk,
-                 "fingerprint": fingerprint,
-                 "chunks": sorted(done_chunks)},
-                open(tmp, "w"),
-            )
-            _os.replace(tmp, state_path)
-        if verbose:
-            print(f"[sweep] chunk {wi + 1}/{n_chunks} [{kind}] done "
-                  f"({len(positions)} configs, {time.time() - t0:.1f}s)")
 
     return SweepResult(
         config_nums=np.asarray([c.get("config_num", i) for i, c in enumerate(configs)]),

@@ -57,8 +57,9 @@ def joint_log_prob_old(
     word_fn = (
         word_logprob_angular if spec.word_metric == "angular" else word_logprob_dot_prod
     )
+    sent = b["text"] if "text" in b else vocab_emb[b["text_ids"]]
     word_lp = word_fn(
-        latents, vocab_emb, b["text_weights"], b["text"], b["text_mask"], a=spec.a
+        latents, vocab_emb, b["text_weights"], sent, b["text_mask"], a=spec.a
     )
     audio_lp = gaussian_logpdf_masked(a_mu, a_sig, b["audio"], b["audio_mask"])
     visual_lp = gaussian_logpdf_masked(v_mu, v_sig, b["visual"], b["visual_mask"])
@@ -90,9 +91,14 @@ def fit_alternating(
 
     Returns ``(final_latents, params, epoch_losses)``.
 
-    ``data`` uses the same dict convention as ``mmtpu.train.latents`` (text /
-    text_weights / text_mask / audio / audio_mask / visual / visual_mask).
+    ``data`` uses the same dict convention as ``mmtpu.train.latents``
+    (text_ids or pre-gathered text / text_weights / text_mask / audio /
+    audio_mask / visual / visual_mask); with ids, per-token vectors are
+    gathered from ``vocab_emb`` inside the step.
     """
+    data = dict(data)
+    if "text" not in data:  # ids-stream convention (prepare_device_data)
+        data["text"] = jnp.asarray(vocab_emb)[jnp.asarray(data["text_ids"])]
     n = data["audio"].shape[0]
     bsz = spec.batch_size
     n_batches = -(-n // bsz)

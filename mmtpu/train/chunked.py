@@ -18,6 +18,8 @@ offset is a traced scalar).
 
 from __future__ import annotations
 
+import hashlib
+import json
 from typing import Mapping, Optional
 
 import numpy as np
@@ -32,6 +34,35 @@ from mmtpu.train.latents import (
 )
 
 _segment = jax.jit(fit_latents_segment, static_argnums=(4, 6))
+
+
+def _fit_fingerprint(init_embed, data, vocab_emb, hp, spec) -> str:
+    """Identify everything that determines the trajectory (hyperparameters,
+    spec, input shapes/dtypes), so a checkpoint from a *different* fit is
+    refused instead of silently spliced.  Same-shape content swaps are
+    caught by a cheap float64 sum over every input array."""
+    import dataclasses
+    spec_desc = {
+        f.name: (getattr(v, "__name__", str(v)) if callable(v) else v)
+        for f in dataclasses.fields(spec)
+        for v in [getattr(spec, f.name)]
+    }  # callables (partition_fn) by name — repr would embed a memory address
+    desc = {
+        "spec": spec_desc,
+        "hp": {k: float(np.asarray(v)) for k, v in sorted(dict(hp).items())},
+        "data": {
+            k: (str(np.asarray(v).dtype), list(np.shape(v)),
+                float(np.sum(np.asarray(v, np.float64))))
+            for k, v in sorted(dict(data).items())
+        },
+        "vocab": [list(np.shape(vocab_emb)),
+                  float(np.sum(np.asarray(vocab_emb, np.float64)))],
+        "init": [list(np.shape(init_embed)),
+                 float(np.sum(np.asarray(init_embed, np.float64)))],
+    }
+    return hashlib.sha256(
+        json.dumps(desc, sort_keys=True).encode()
+    ).hexdigest()
 
 
 def fit_latents_checkpointed(
@@ -59,30 +90,34 @@ def fit_latents_checkpointed(
     losses = np.zeros(n_total, np.float32)
     start = 0
 
+    fingerprint = None
     if checkpointer is not None:
+        fingerprint = _fit_fingerprint(init_embed, data, vocab_emb, hp, spec)
         saved, step, extra = checkpointer.restore((carry, losses))
-        if saved is not None and extra.get("n_epochs_max") == n_total:
-            carry, saved_losses = saved
-            losses = np.asarray(saved_losses, np.float32).copy()
-            start = int(step)
-            if verbose:
-                print(f"[chunked] resuming at epoch {start}/{n_total}")
+        if saved is not None:
+            if extra.get("fingerprint") == fingerprint:
+                carry, saved_losses = saved
+                losses = np.asarray(saved_losses, np.float32).copy()
+                start = int(step)
+                if verbose:
+                    print(f"[chunked] resuming at epoch {start}/{n_total}")
+            elif verbose:
+                print("[chunked] checkpoint belongs to a different fit "
+                      "(fingerprint mismatch) — starting at epoch 0")
 
     for s0 in range(start, n_total, segment_epochs):
+        # n_seg is a static int: every full segment reuses one compiled
+        # program; a shorter tail segment compiles at most once more
         n_seg = min(segment_epochs, n_total - s0)
-        if n_seg == segment_epochs:
-            carry, seg_losses = _segment(
-                carry, data, vocab_emb, hp, spec, jnp.int32(s0), segment_epochs
-            )
-        else:  # one shorter tail segment (second compile at most)
-            carry, seg_losses = _segment(
-                carry, data, vocab_emb, hp, spec, jnp.int32(s0), n_seg
-            )
+        carry, seg_losses = _segment(
+            carry, data, vocab_emb, hp, spec, jnp.int32(s0), n_seg
+        )
         losses[s0 : s0 + n_seg] = np.asarray(seg_losses)
         if checkpointer is not None:
             jax.block_until_ready(carry[0])
             checkpointer.save(
-                s0 + n_seg, (carry, losses), extra={"n_epochs_max": n_total}
+                s0 + n_seg, (carry, losses),
+                extra={"n_epochs_max": n_total, "fingerprint": fingerprint},
             )
     embed, dec = carry[0], carry[1]
     return embed, dec, jnp.asarray(losses)

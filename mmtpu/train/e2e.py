@@ -82,16 +82,13 @@ def fit_e2e(
     ``senti_mask`` is the per-utterance 0/1 labeled mask (semi-supervised);
     None = fully supervised.
     """
-    from mmtpu.train.latents import fit_latents
+    from mmtpu.train.latents import make_inner_valid_spec, valid_fit_loss
 
     lspec = spec.latent_spec()
     inner_spec = None
     if validation is not None and spec.valid_every > 0:
-        inner_spec = dataclasses.replace(
-            lspec,
-            train_decoder=False,
-            shuffle=False,
-            batch_size=spec.batch_size * spec.valid_batch_mult,
+        inner_spec = make_inner_valid_spec(
+            spec.latent_spec(), spec.valid_batch_mult
         )
     n = init_embed.shape[0]
     bsz = spec.batch_size
@@ -198,18 +195,14 @@ def fit_e2e(
 
         # recursive validation against the frozen current decoder
         # (simplesif.py:795-799)
-        v_init, v_data = validation
         key, v_key = jax.random.split(key)
         do_valid = jnp.logical_and(active, epoch_idx % spec.valid_every == 0)
-
-        def run_valid():
-            _, _, v_losses = fit_latents(
-                v_key, v_init, dec, v_data, vocab_emb, hp, inner_spec
-            )
-            last_idx = jnp.clip(hp["n_epochs"] - 1, 0, spec.n_epochs_max - 1)
-            return v_losses[last_idx]
-
-        v_loss = jax.lax.cond(do_valid, run_valid, lambda: jnp.float32(jnp.nan))
+        v_loss = jax.lax.cond(
+            do_valid,
+            lambda: valid_fit_loss(v_key, validation, dec, vocab_emb, hp,
+                                   inner_spec),
+            lambda: jnp.float32(jnp.nan),
+        )
         return (embed, dec, sen, e_opt, d_opt, s_opt, key), (epoch_loss, v_loss)
 
     carry0 = (embed, decoder_params, senti_params, e_opt, d_opt, s_opt, rng)
@@ -222,8 +215,6 @@ def fit_e2e(
     (embed, dec, sen, _, _, _, key), (losses, valid_losses) = jax.lax.scan(
         epoch_body, carry0, jnp.arange(spec.n_epochs_max)
     )
-    v_init, v_data = validation
-    _, _, fv = fit_latents(key, v_init, dec, v_data, vocab_emb, hp, inner_spec)
-    last_idx = jnp.clip(hp["n_epochs"] - 1, 0, spec.n_epochs_max - 1)
-    valid_losses = jnp.concatenate([valid_losses, fv[last_idx][None]])
+    fv = valid_fit_loss(key, validation, dec, vocab_emb, hp, inner_spec)
+    valid_losses = jnp.concatenate([valid_losses, fv[None]])
     return embed, dec, sen, losses, valid_losses

@@ -276,13 +276,7 @@ def fit_latents(
     """
     inner_spec = None
     if validation is not None and spec.valid_every > 0:
-        inner_spec = dataclasses.replace(
-            spec,
-            train_decoder=False,
-            shuffle=False,
-            batch_size=spec.batch_size * spec.valid_batch_mult,
-            valid_every=0,
-        )
+        inner_spec = make_inner_valid_spec(spec, spec.valid_batch_mult)
 
     carry0 = init_fit_carry(rng, init_embed, decoder_params, spec)
     epoch_body = _make_epoch_body(
@@ -298,11 +292,34 @@ def fit_latents(
         epoch_body, carry0, jnp.arange(spec.n_epochs_max)
     )
     # final validation (simplesif.py:153-159)
-    v_init, v_data = validation
-    _, _, fv = fit_latents(key, v_init, dec, v_data, vocab_emb, hp, inner_spec)
-    last_idx = jnp.clip(hp["n_epochs"] - 1, 0, spec.n_epochs_max - 1)
-    valid_losses = jnp.concatenate([valid_losses, fv[last_idx][None]])
+    fv = valid_fit_loss(key, validation, dec, vocab_emb, hp, inner_spec)
+    valid_losses = jnp.concatenate([valid_losses, fv[None]])
     return embed, dec, losses, valid_losses
+
+
+def make_inner_valid_spec(spec, valid_batch_mult: int) -> "LatentFitSpec":
+    """The spec of the recursive validation refit: frozen decoder, unshuffled,
+    ``valid_batch_mult``× batch (simplesif.py:146-159 + the 8× valid loader
+    at simplesif.py:458), and no nested validation.  Shared by the plain and
+    e2e fits so the cadence semantics cannot drift."""
+    return dataclasses.replace(
+        spec,
+        train_decoder=False,
+        shuffle=False,
+        batch_size=spec.batch_size * valid_batch_mult,
+        valid_every=0,
+    )
+
+
+def valid_fit_loss(key, validation, dec, vocab_emb, hp, inner_spec):
+    """One recursive-validation sample: refit the valid split from its SIF
+    init against the frozen current decoder and return the final epoch's
+    loss (simplesif.py:146-159)."""
+    v_init, v_data = validation
+    _, _, v_losses = fit_latents(key, v_init, dec, v_data, vocab_emb, hp,
+                                 inner_spec)
+    last_idx = jnp.clip(hp["n_epochs"] - 1, 0, inner_spec.n_epochs_max - 1)
+    return v_losses[last_idx]
 
 
 def init_fit_carry(rng, init_embed, decoder_params, spec: LatentFitSpec):
@@ -428,18 +445,14 @@ def _make_epoch_body(data, vocab_emb, hp, spec: LatentFitSpec, n,
 
         # recursive validation: refit valid latents against the frozen
         # current decoder (full inner fit — reference simplesif.py:146-151)
-        v_init, v_data = validation
         key, v_key = jax.random.split(key)
         do_valid = jnp.logical_and(active, epoch_idx % spec.valid_every == 0)
-
-        def run_valid():
-            _, _, v_losses = fit_latents(
-                v_key, v_init, dec, v_data, vocab_emb, hp, inner_spec
-            )
-            last_idx = jnp.clip(hp["n_epochs"] - 1, 0, spec.n_epochs_max - 1)
-            return v_losses[last_idx]
-
-        v_loss = jax.lax.cond(do_valid, run_valid, lambda: jnp.float32(jnp.nan))
+        v_loss = jax.lax.cond(
+            do_valid,
+            lambda: valid_fit_loss(v_key, validation, dec, vocab_emb, hp,
+                                   inner_spec),
+            lambda: jnp.float32(jnp.nan),
+        )
         return (embed, dec, e_opt, d_opt, key), (epoch_loss, v_loss)
 
     return epoch_body

@@ -1,0 +1,40 @@
+"""Subprocess worker for tests/test_multihost.py — one JAX process of a
+multi-process CPU cluster running its shard of the sweep."""
+
+import json
+import sys
+
+import jax
+
+# select the CPU backend before any platform init (the axon sitecustomize
+# force-selects its backend otherwise — CLAUDE.md)
+jax.config.update("jax_platforms", "cpu")
+
+
+def main() -> None:
+    pid, nproc = int(sys.argv[1]), int(sys.argv[2])
+    port, out_path = sys.argv[3], sys.argv[4]
+
+    from mmtpu.parallel.multihost import init_multihost, run_sweep_multihost
+    from tests.test_sweep import _grid4, _tiny_prep
+
+    init_multihost(f"localhost:{port}", num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc
+
+    res = run_sweep_multihost(
+        _grid4(), _tiny_prep(), batch_size=8, verbose=False
+    )
+    json.dump(
+        {
+            "process": pid,
+            "config_nums": res.config_nums.tolist(),
+            "run_idxs": res.run_idxs.tolist(),
+            "final_train_loss": res.final_train_loss.tolist(),
+            "metrics": {k: v.tolist() for k, v in res.metrics.items()},
+        },
+        open(out_path, "w"),
+    )
+
+
+if __name__ == "__main__":
+    main()

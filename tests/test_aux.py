@@ -133,6 +133,16 @@ class TestAlternating:
         assert lat.shape == (n, D)
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+        # the prepared-data ids-stream convention (text_ids, no pre-gathered
+        # text) must give the identical fit
+        data_ids = {k: v for k, v in data.items() if k != "text"}
+        data_ids["text_ids"] = jnp.asarray(ids, jnp.int32)
+        lat2, _, losses2 = fit_alternating(
+            params, data_ids, vocab, lr=1e-3, word_loss_weight=0.001, spec=spec
+        )
+        np.testing.assert_array_equal(np.asarray(lat2), np.asarray(lat))
+        np.testing.assert_array_equal(np.asarray(losses2), losses)
         np.testing.assert_allclose(
             np.linalg.norm(np.asarray(lat), axis=-1), 1.0, atol=1e-4
         )
@@ -279,6 +289,18 @@ class TestSweepResume:
             segment_epochs=3, verbose=True)
         np.testing.assert_array_equal(np.asarray(e_r), np.asarray(e_mono))
         np.testing.assert_array_equal(np.asarray(l_r), np.asarray(l_mono))
+
+        # a checkpoint from a DIFFERENT fit must be refused, not spliced:
+        # resuming the same dir with a changed lr restarts at epoch 0 and
+        # reproduces the changed fit exactly
+        hp2 = dict(hp, lr=jnp.float32(5e-4))
+        e_m2, _, l_m2 = jax.jit(fit_latents, static_argnums=(6,))(
+            rng, init_e, dec, data, vocab, hp2, spec)
+        e_f, _, l_f = fit_latents_checkpointed(
+            rng, init_e, dec, data, vocab, hp2, spec, checkpointer=ck3,
+            segment_epochs=3)
+        np.testing.assert_array_equal(np.asarray(e_f), np.asarray(e_m2))
+        np.testing.assert_array_equal(np.asarray(l_f), np.asarray(l_m2))
 
     def test_resume_skips_completed_chunks(self, tmp_path):
         from mmtpu.data.pipeline import prepare_device_data

@@ -334,3 +334,51 @@ class TestRealDataLoaders:
         np.testing.assert_allclose(w[0], 1e-3 / (1e-3 + 1000 / 1010), rtol=1e-9)
         np.testing.assert_allclose(w[1], 1e-3 / (1e-3 + 10 / 1010), rtol=1e-9)
         assert w[2] == 1.0
+
+
+class TestVerifyData:
+    """scripts/verify_data.py — the explicit real-data gate (reference
+    README.md:9 blobs; .MISSING_LARGE_BLOBS)."""
+
+    def test_missing_dir_fails_with_fetch_instructions(self, tmp_path, capsys):
+        import scripts.verify_data as vd
+
+        rc = vd.main(["mosi", "--data_dir", str(tmp_path)])
+        out = capsys.readouterr().out
+        assert rc == 1
+        assert "MISSING" in out and "drive.google.com" in out
+
+    def test_real_geometry_mosi_passes(self, tmp_path, capsys):
+        import pickle
+
+        import h5py
+
+        import scripts.verify_data as vd
+
+        (tmp_path / "mosi").mkdir()
+        (tmp_path / "data").mkdir()
+        np.save(tmp_path / "mosi/glove_300_mosi.npy",
+                np.zeros(vd.MOSI["vocab"], np.float32))
+        pickle.dump({"w": 0}, open(tmp_path / "mosi/word2ix_300_mosi.pkl", "wb"))
+        np.save(tmp_path / "word_weights.npy", np.zeros(3016, np.float32))
+        with h5py.File(tmp_path / "data/mosi_data.h5", "w") as f:
+            for split, n in vd.MOSI["splits"].items():
+                g = f.create_group(split)
+                g["facet"] = np.zeros((n, 20, 47), np.float32)
+                g["covarep"] = np.zeros((n, 20, 74), np.float32)
+                g["text"] = np.zeros((n, 20), np.int64)
+                g["lengths"] = np.full(n, 20, np.int64)
+                g["label"] = np.zeros(n, np.float32)
+                g["id"] = np.arange(n, dtype=np.int64)
+        rc = vd.main(["mosi", "--data_dir", str(tmp_path)])
+        assert rc == 0, capsys.readouterr().out
+
+    def test_wrong_geometry_rejected(self, tmp_path, capsys):
+        import scripts.verify_data as vd
+
+        (tmp_path / "mosi").mkdir()
+        np.save(tmp_path / "mosi/glove_300_mosi.npy",
+                np.zeros((40, 8), np.float32))  # toy-sized, not real
+        rc = vd.main(["mosi", "--data_dir", str(tmp_path)])
+        out = capsys.readouterr().out
+        assert rc == 1 and "BAD" in out

@@ -83,11 +83,13 @@ def test_run_experiment_iemocap(tmp_path):
     assert 0.0 <= after["accuracy"] <= 1.0 and "f_score" in after
 
 
-def test_validation_curve(tmp_path):
-    """Recursive validation-during-training (simplesif.py:146-159)."""
+@pytest.mark.parametrize("e2e", [False, True])
+def test_validation_curve(tmp_path, e2e):
+    """Recursive validation-during-training (simplesif.py:146-159; the e2e
+    variant mirrors simplesif.py:795-799)."""
     cfg = ExperimentConfig(
         dataset="mosi", n_epochs=3, n_sentiment_epochs=4, batch_size=8,
-        e2e=False, optimizer="sgd", lr=1e-4, config_name="smokeval",
+        e2e=e2e, optimizer="sgd", lr=1e-4, config_name="smokeval",
     )
     prep = _tiny_prep()
     res = run_experiment(
@@ -232,3 +234,9 @@ def test_closed_form_server(tmp_path):
     # the first 3 rows of the full request
     lat3, _ = server({k: v[:3] for k, v in req.items()})
     np.testing.assert_allclose(lat3, lat[:3], atol=1e-5)
+
+    # a text_ids request needs the vocab table at construction — the error
+    # must be clear, not a NoneType subscript from inside tracing
+    bare = ClosedFormServer(dec, batch_sizes=(16,))
+    with pytest.raises(ValueError, match="word_embeddings"):
+        bare(req)
