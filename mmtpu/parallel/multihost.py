@@ -41,8 +41,16 @@ def init_multihost(
     vars (``JAX_COORDINATOR_ADDRESS`` etc.).  After this, ``jax.devices()``
     spans every process and collectives cross DCN.
     """
+    import os
+
     import jax
 
+    if (coordinator_address is None and num_processes is None
+            and not any(v in os.environ for v in (
+                "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"))):
+        # no coordinator anywhere → single-process run; initialize() would
+        # fail cluster auto-detection, and there is nothing to set up
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

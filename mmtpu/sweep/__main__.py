@@ -42,6 +42,11 @@ def main(argv=None) -> int:
     parser.add_argument("--resume_dir", help="chunk checkpoint dir (resume here)")
     parser.add_argument("--mesh", action="store_true",
                         help="shard the config axis across all devices")
+    parser.add_argument("--multihost", action="store_true",
+                        help="shard the config axis across JAX processes "
+                             "(launch one process per host; coordinator via "
+                             "the standard env vars / cluster auto-detect — "
+                             "see mmtpu.parallel.multihost)")
     parser.add_argument("--pallas", action="store_true",
                         help="force the fused Pallas angular-partition kernel "
                              "on (default: auto — on for TPU backends)")
@@ -120,8 +125,7 @@ def main(argv=None) -> int:
         )
         print(f"[sweep] semi-supervised: {int(mask.sum())} labeled rows")
 
-    res = run_sweep(
-        configs, prep,
+    sweep_kw = dict(
         batch_size=args.batch_size,
         unimodal=args.unimodal,
         seed=args.seed,
@@ -134,6 +138,17 @@ def main(argv=None) -> int:
         senti_mask=mask,
         validation_curve=args.validation_curve,
     )
+    if args.multihost:
+        from mmtpu.parallel.multihost import init_multihost, run_sweep_multihost
+
+        init_multihost()
+        res = run_sweep_multihost(configs, prep, **sweep_kw)
+        import jax
+
+        if jax.process_index() != 0:
+            return 0  # host 0 writes the CSV/summary/artifacts
+    else:
+        res = run_sweep(configs, prep, **sweep_kw)
 
     os.makedirs(args.out, exist_ok=True)
     records = res.to_records()
