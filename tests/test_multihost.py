@@ -73,3 +73,46 @@ def test_two_process_sweep_matches_single(tmp_path):
             results[0]["metrics"][k], np.asarray(v), rtol=1e-4, atol=1e-5,
             err_msg=k,
         )
+
+
+def test_init_multihost_no_coordinator_is_noop(monkeypatch):
+    """Single-process runs (the CLI --multihost flag without a cluster) must
+    not attempt jax.distributed.initialize auto-detection."""
+    import jax
+
+    from mmtpu.parallel.multihost import init_multihost
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+
+    def boom(*a, **k):  # pragma: no cover - called only on regression
+        raise AssertionError("initialize() must not be called")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    init_multihost()  # no coordinator anywhere -> early return
+
+
+def test_cli_multihost_single_process(tmp_path, monkeypatch):
+    """`mmtpu.sweep --multihost` degrades to a plain single-process sweep
+    when no coordinator is configured (process_count == 1)."""
+    import mmtpu.data.registry as reg
+    from mmtpu.sweep import __main__ as cli
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    orig = reg.synthesize_dataset
+    monkeypatch.setattr(
+        reg, "synthesize_dataset",
+        lambda name, seed=0: orig(
+            name, n_train=24, n_valid=8, n_test=10, vocab_size=50,
+            embed_dim=12, audio_dim=5, visual_dim=4, seed=seed,
+        ),
+    )
+    rc = cli.main([
+        "mosi", "--limit", "2", "--chunk_size", "2", "--batch_size", "8",
+        "--multihost", "--data_dir", str(tmp_path / "nodata"),
+        "--out", str(tmp_path / "results"), "--name", "mh1",
+    ])
+    assert rc == 0
+    summary = json.load(open(tmp_path / "results" / "mh1_summary.json"))
+    assert summary["n_configs"] == 2
