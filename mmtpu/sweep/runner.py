@@ -7,8 +7,9 @@ device-side metrics — all under a leading config axis, sharded over the
 
 Wall-clock model: the reference runs 512 serial processes, each re-loading
 data and re-tracing the same math; mmtpu compiles once per chunk shape and
-reuses the executable for every chunk of the same optimizer bucket
-(``chunk_size`` bounds HBM; buckets bake the optimizer as a static kind).
+reuses the executable for every chunk of the same (optimizer, n_epochs)
+bucket (``chunk_size`` bounds HBM; buckets bake the optimizer as a static
+kind and scan only their own epoch count instead of the grid-wide max).
 """
 
 from __future__ import annotations
@@ -349,21 +350,31 @@ def run_sweep(
     t0 = time.time()
     compile_time = 0.0
 
-    # ---- bucket by optimizer: a homogeneous bucket bakes the optimizer as
-    # a STATIC kind (SGD buckets skip moment buffers and use row-sparse
-    # embedding updates — see mmtpu.train.optim / latents) ----
-    buckets: List[tuple] = []  # (opt_kind, [original positions])
-    by_opt: Dict[str, list] = {}
+    # ---- bucket by (optimizer, n_epochs): a homogeneous bucket bakes the
+    # optimizer as a STATIC kind (SGD buckets skip moment buffers and use
+    # row-sparse embedding updates — see mmtpu.train.optim / latents), and
+    # its program scans only the bucket's OWN epoch count — without the
+    # epoch axis, every chunk would run the grid-wide max and configs with
+    # fewer epochs would burn the difference in masked no-op steps (the
+    # shipped grid mixes 100/200 epochs → ~25% of train+infer exec).  An
+    # arbitrary grid with many distinct epoch counts would explode the
+    # compile count, so past 4 unique values the epoch axis collapses back
+    # to the global max (masking keeps it exact either way). ----
+    ne_values = sorted({int(c.get("n_epochs", 100)) for c in configs})
+    split_epochs = 1 < len(ne_values) <= 4
+    by_key: Dict[tuple, list] = {}
     for i, c in enumerate(configs):
-        by_opt.setdefault(c.get("optimizer", "sgd"), []).append(i)
-    for kind, positions in sorted(by_opt.items()):
-        buckets.append((kind, positions))
+        kind = c.get("optimizer", "sgd")
+        ne = (int(c.get("n_epochs", 100)) if split_epochs
+              else statics.n_epochs_max)
+        by_key.setdefault((kind, ne), []).append(i)
+    buckets = [(k, ne, pos) for (k, ne), pos in sorted(by_key.items())]
 
-    work = []  # (chunk_id str, opt_kind, positions list)
-    for kind, positions in buckets:
+    work = []  # (chunk_id str, opt_kind, n_epochs_max, positions list)
+    for kind, ne, positions in buckets:
         for ci in range(-(-len(positions) // chunk)):
             pos = positions[ci * chunk : (ci + 1) * chunk]
-            work.append((f"{kind}_{ci}", kind, pos))
+            work.append((f"{kind}{ne}_{ci}", kind, ne, pos))
     n_chunks = len(work)
 
     # ---- chunk-level checkpoint / resume ----
@@ -377,6 +388,7 @@ def run_sweep(
     fingerprint = _hashlib.sha256(
         _json.dumps(
             {
+                "bucketing": "opt+epochs",  # chunk-id scheme version
                 "seed": seed,
                 "batch_size": batch_size,
                 "unimodal": unimodal,
@@ -434,7 +446,14 @@ def run_sweep(
         chunk_loss = np.asarray(out["final_train_loss"])  # blocks on the chunk
         chunk_metrics = {mk: np.asarray(mv) for mk, mv in out["metrics"].items()}
         if "valid_curve" in out:
-            chunk_metrics["valid_curve"] = np.asarray(out["valid_curve"])
+            vc = np.asarray(out["valid_curve"])
+            # epoch-bucketed chunks emit (K, bucket_ne + 1) curves — pad to
+            # the grid-wide width so scatter targets one shared array
+            full = statics.n_epochs_max + 1
+            if vc.shape[-1] < full:
+                vc = np.pad(vc, ((0, 0), (0, full - vc.shape[-1])),
+                            constant_values=np.nan)
+            chunk_metrics["valid_curve"] = vc
         scatter_results(positions, chunk_loss, chunk_metrics)
         if state_path is not None:
             np.savez(
@@ -455,22 +474,13 @@ def run_sweep(
             print(f"[sweep] chunk {wi + 1}/{n_chunks} [{kind}] done "
                   f"({len(positions)} configs, {time.time() - t0:.1f}s)")
 
-    for wi, (chunk_id, kind, positions) in enumerate(work):
-        if chunk_id in done_chunks:
-            saved = done_chunks[chunk_id]
-            scatter_results(
-                positions,
-                saved["final_train_loss"],
-                {k: v for k, v in saved.items() if k != "final_train_loss"},
-            )
-            continue
+    def chunk_args(kind, ne_max, positions):
+        """Device-ready argument tuple for one chunk of a bucket."""
         chunk_cfgs = [configs[p] for p in positions]
         pad_n = chunk - len(chunk_cfgs)
         chunk_cfgs = chunk_cfgs + [chunk_cfgs[0]] * pad_n  # shape-stable padding
 
-        bucket_statics = _dc.replace(statics, opt_kind=kind)
         hp_np = pack_configs(chunk_cfgs, statics)
-        cfg_nums = jnp.asarray(hp_np["config_num"])
         # unique per (config, run): fold in a combined id
         uid = jnp.asarray(hp_np["config_num"] * 1024 + hp_np["run_idx"])
         dec_keys = jax.vmap(lambda c: jax.random.fold_in(dec_root, c))(uid)
@@ -519,29 +529,78 @@ def run_sweep(
                 pm_np = np.pad(pm_np, ((0, 0), (0, p_tab - pm_np.shape[-1])))
             pm = shard_cfg(jnp.asarray(pm_np))
             dtr["pos_mask"] = dva["pos_mask"] = dte["pos_mask"] = pm
+        return (rngs, init_embeds, dec_stack, senti_stack, hp, s_hp,
+                dtr, dva, dte)
 
+    def build_bucket_fn(kind, ne_max):
+        return build_sweep_fn(
+            _dc.replace(statics, opt_kind=kind, n_epochs_max=ne_max),
+            labels, vocab, prep.name,
+            return_embeddings=return_embeddings, senti_mask=senti_mask,
+        )
+
+    # ---- concurrent bucket compilation ----
+    # Each bucket's program costs minutes of (remote) XLA compilation that
+    # the lazy first-dispatch path would pay serially, back to back.  AOT-
+    # compile every remaining bucket CONCURRENTLY instead: tracing holds the
+    # GIL briefly, the XLA/remote compile releases it, so with B buckets the
+    # compile wall-clock is ~max over buckets rather than the sum.
+    todo_buckets = []
+    for chunk_id, kind, ne, pos in work:
+        if chunk_id not in done_chunks and not any(
+                key == (kind, ne) for key, _ in todo_buckets):
+            todo_buckets.append(((kind, ne), pos))
+    if len(todo_buckets) > 1:
+        import concurrent.futures as _cf
+
+        def _warm(key, positions):
+            fn = build_bucket_fn(*key)
+            return key, fn.lower(*chunk_args(key[0], key[1], positions)).compile()
+
+        tc = time.time()
         try:
-            if kind not in sweep_fns:
-                # compile path: drain outstanding work first so compile-time
-                # accounting isn't polluted by a still-executing prior chunk
+            with _cf.ThreadPoolExecutor(len(todo_buckets)) as ex:
+                futs = [ex.submit(_warm, key, pos) for key, pos in todo_buckets]
+                for fut in _cf.as_completed(futs):
+                    key, compiled = fut.result()
+                    sweep_fns[key] = compiled
+            compile_time += time.time() - tc
+            if verbose:
+                print(f"[sweep] compiled {len(todo_buckets)} bucket programs "
+                      f"concurrently in {time.time() - tc:.1f}s")
+        except Exception as e:  # fall back to lazy per-bucket compiles
+            sweep_fns.clear()
+            if verbose:
+                print(f"[sweep] concurrent compile failed ({e!r}) — "
+                      "falling back to lazy compiles")
+
+    for wi, (chunk_id, kind, ne_max, positions) in enumerate(work):
+        if chunk_id in done_chunks:
+            saved = done_chunks[chunk_id]
+            scatter_results(
+                positions,
+                saved["final_train_loss"],
+                {k: v for k, v in saved.items() if k != "final_train_loss"},
+            )
+            continue
+        args = chunk_args(kind, ne_max, positions)
+        try:
+            if (kind, ne_max) not in sweep_fns:
+                # lazy-compile path (warmup skipped or failed): drain
+                # outstanding work first so compile-time accounting isn't
+                # polluted by a still-executing prior chunk
                 if pending is not None:
                     drain(pending)
                     pending = None
-                sweep_fns[kind] = build_sweep_fn(
-                    bucket_statics, labels, vocab, prep.name,
-                    return_embeddings=return_embeddings,
-                    senti_mask=senti_mask,
-                )
+                sweep_fns[(kind, ne_max)] = build_bucket_fn(kind, ne_max)
                 tc = time.time()
-                out = sweep_fns[kind](rngs, init_embeds, dec_stack, senti_stack,
-                                      hp, s_hp, dtr, dva, dte)
+                out = sweep_fns[(kind, ne_max)](*args)
                 jax.block_until_ready(out["final_train_loss"])
                 compile_time += time.time() - tc
             else:
                 # steady state: dispatch is async — materialize the PREVIOUS
                 # chunk while this one executes (one-chunk-deep pipeline)
-                out = sweep_fns[kind](rngs, init_embeds, dec_stack, senti_stack,
-                                      hp, s_hp, dtr, dva, dte)
+                out = sweep_fns[(kind, ne_max)](*args)
                 if pending is not None:
                     drain(pending)
                     pending = None

@@ -92,6 +92,27 @@ class TestSweep:
             r_all.metrics["mae"], r_padded.metrics["mae"], rtol=1e-5
         )
 
+    def test_epoch_bucketing_equivalence(self):
+        """Sub-bucketing by n_epochs (same optimizer, mixed 2/4 epochs →
+        separate compiled programs scanning their own epoch count) must
+        reproduce per-config standalone runs exactly — masked-epoch padding
+        and epoch buckets are both exact, so results can't depend on which
+        program a config landed in."""
+        prep = _tiny_prep()
+        cfgs = [dict(c, optimizer="sgd", n_epochs=(2 if i % 2 else 4))
+                for i, c in enumerate(_grid4())]
+        together = run_sweep(cfgs, prep, batch_size=8, verbose=False)
+        solo = [run_sweep([c], prep, batch_size=8, verbose=False)
+                for c in cfgs]
+        np.testing.assert_allclose(
+            together.final_train_loss,
+            np.concatenate([s.final_train_loss for s in solo]), rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            together.metrics["mae"],
+            np.concatenate([s.metrics["mae"] for s in solo]), rtol=1e-5,
+        )
+
     def test_masked_pos_channels_are_inert(self):
         """Garbage in the decoder weights of masked positional channels must
         not change any result — proves the channel-mask padding mechanism."""
@@ -237,7 +258,10 @@ class TestSweep:
 
     def test_validation_curve(self):
         """Opt-in recursive validation curves per config (e2e bucket), NaN
-        between sampling points, one final sample appended."""
+        between sampling points, one final sample appended.  Epoch-bucketed
+        chunks place each config's final sample at its OWN n_epochs slot
+        (the bucket program's last scan step); shorter configs' curves are
+        NaN-padded to the grid-wide width."""
         prep = _tiny_prep()
         cfgs = _grid4()[:2]
         res = run_sweep(cfgs, prep, batch_size=8, verbose=False,
@@ -245,9 +269,12 @@ class TestSweep:
         vc = res.metrics["valid_curve"]
         n_max = max(c["n_epochs"] for c in cfgs)
         assert vc.shape == (2, n_max + 1)
-        # epoch 0 is always a sampling point; the appended final sample too
+        # epoch 0 is always a sampling point; the appended final sample sits
+        # at each config's own final epoch
         assert np.isfinite(vc[:, 0]).all()
-        assert np.isfinite(vc[:, -1]).all()
+        for i, c in enumerate(cfgs):
+            assert np.isfinite(vc[i, c["n_epochs"]])
+            assert np.isnan(vc[i, c["n_epochs"] + 1:]).all()
 
     def test_pom_sweep(self):
         prep = _tiny_prep(name="pom")
