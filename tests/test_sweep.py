@@ -113,6 +113,26 @@ class TestSweep:
             np.concatenate([s.metrics["mae"] for s in solo]), rtol=1e-5,
         )
 
+    def test_concurrent_compile_fallback(self, monkeypatch, capsys):
+        """If the concurrent AOT warmup dies, the sweep must fall back to
+        lazy per-bucket compiles and still produce correct results."""
+        import concurrent.futures
+
+        class Boom:
+            def __init__(self, *a, **k):
+                raise RuntimeError("no threads today")
+
+        prep = _tiny_prep()
+        cfgs = _grid4()  # 2 buckets -> warmup path triggers
+        ref = run_sweep(cfgs, prep, batch_size=8, verbose=False)
+        monkeypatch.setattr(concurrent.futures, "ThreadPoolExecutor", Boom)
+        res = run_sweep(cfgs, prep, batch_size=8, verbose=True)
+        assert "falling back to lazy compiles" in capsys.readouterr().out
+        np.testing.assert_allclose(
+            ref.final_train_loss, res.final_train_loss, rtol=1e-5)
+        np.testing.assert_allclose(
+            ref.metrics["mae"], res.metrics["mae"], rtol=1e-5)
+
     def test_masked_pos_channels_are_inert(self):
         """Garbage in the decoder weights of masked positional channels must
         not change any result — proves the channel-mask padding mechanism."""
