@@ -16,7 +16,7 @@ from mmtpu.parallel.collectives import (
     sharded_angular_partition,
     sharded_gaussian_logpdf,
 )
-from mmtpu.parallel.fit import fit_latents_mesh, make_fit_mesh
+from mmtpu.parallel.fit import fit_e2e_mesh, fit_latents_mesh, make_fit_mesh
 from mmtpu.parallel.multihost import (
     init_multihost,
     run_sweep_multihost,
@@ -29,6 +29,7 @@ __all__ = [
     "replicated",
     "sharded_angular_partition",
     "sharded_gaussian_logpdf",
+    "fit_e2e_mesh",
     "fit_latents_mesh",
     "make_fit_mesh",
     "init_multihost",

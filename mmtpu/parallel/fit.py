@@ -29,9 +29,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from mmtpu.train.e2e import E2EFitSpec, fit_e2e
 from mmtpu.train.latents import LatentFitSpec, fit_latents
 
 _fit = jax.jit(fit_latents, static_argnums=(6,))
+_fit_e2e = jax.jit(fit_e2e, static_argnums=(8,))
 
 
 def _mesh_context(mesh: Mesh):
@@ -95,6 +97,63 @@ def fit_latents_mesh(
     )
     with _mesh_context(mesh):
         return _fit(rng, init_embed, decoder_params, data, vocab_emb, hp, spec)
+
+
+def fit_e2e_mesh(
+    mesh: Mesh,
+    rng: jax.Array,
+    init_embed,
+    decoder_params,
+    senti_params,
+    data: Mapping,
+    labels,
+    vocab_emb,
+    hp: Mapping,
+    spec: E2EFitSpec,
+    senti_mask=None,
+    batch_axis: Optional[str] = "data",
+    vocab_axis: Optional[str] = "vocab",
+):
+    """Run :func:`mmtpu.train.e2e.fit_e2e` (the shipped grid's default mode —
+    joint likelihood + L1 sentiment, simplesif.py:625-912) sharded over
+    ``mesh``, with the same axis semantics and graceful degradation as
+    :func:`fit_latents_mesh`.  Equivalence-tested on the 8-device CPU mesh
+    (tests/test_parallel.py)."""
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    repl = NamedSharding(mesh, P())
+
+    vocab_emb = jnp.asarray(vocab_emb)
+    n_v = axis_sizes.get(vocab_axis, 1) if vocab_axis else 1
+    vocab_sh = (
+        NamedSharding(mesh, P(vocab_axis))
+        if vocab_axis and n_v > 1 and vocab_emb.shape[0] % n_v == 0
+        else repl
+    )
+    vocab_emb = jax.device_put(vocab_emb, vocab_sh)
+
+    put = lambda t: jax.tree.map(
+        lambda x: jax.device_put(jnp.asarray(x), repl), t
+    )
+    data = put(dict(data))
+    init_embed = put(init_embed)
+    decoder_params = put(decoder_params)
+    senti_params = put(senti_params)
+    labels = put(labels)
+    hp = put(dict(hp))
+    if senti_mask is not None:
+        senti_mask = put(senti_mask)
+
+    n_b = axis_sizes.get(batch_axis, 1) if batch_axis else 1
+    spec = dataclasses.replace(
+        spec,
+        batch_shard_axis=(
+            batch_axis if batch_axis and n_b > 1
+            and spec.batch_size % n_b == 0 else None
+        ),
+    )
+    with _mesh_context(mesh):
+        return _fit_e2e(rng, init_embed, decoder_params, senti_params, data,
+                        labels, vocab_emb, hp, spec, senti_mask)
 
 
 def make_fit_mesh(

@@ -43,6 +43,9 @@ class E2EFitSpec:
     # (simplesif.py:795-799); 0 disables
     valid_every: int = 0
     valid_batch_mult: int = 8
+    # mesh axis name to shard each minibatch's rows across (GSPMD; see
+    # mmtpu/parallel/fit.py) — None = single-device
+    batch_shard_axis: str | None = None
 
     def latent_spec(self) -> LatentFitSpec:
         return LatentFitSpec(
@@ -56,6 +59,7 @@ class E2EFitSpec:
             partition_fn=self.partition_fn,
             unroll=self.unroll,
             opt_kind=self.opt_kind,
+            batch_shard_axis=self.batch_shard_axis,
         )
 
 
@@ -118,10 +122,27 @@ def fit_e2e(
             j, row_valid = xs
             b = _gather_batch(data, j)
             y = labels[j]
+            csh = None
+            if spec.batch_shard_axis is not None:
+                # split the minibatch's rows across the mesh axis; XLA
+                # inserts the gradient psums (see mmtpu/parallel/fit.py)
+                from jax.sharding import PartitionSpec as _P
+
+                rows = _P(spec.batch_shard_axis)
+                csh = lambda t: jax.lax.with_sharding_constraint(t, rows)
+                row_valid = csh(row_valid)
+                y = csh(y)
+                b = {
+                    k: (csh(v) if not k.startswith("pos_") and v.ndim >= 1
+                        and v.shape[0] == bsz else v)
+                    for k, v in b.items()
+                }
             sparse_sgd = spec.opt_kind == "sgd"
 
             def loss_fn(embed_arg, dec_p, sen_p):
                 lat = embed_arg if sparse_sgd else embed_arg[j]
+                if csh is not None:
+                    lat = csh(lat)
                 # per-sample -log p (reuse the latent-fit loss but per-sample):
                 # batch_neg_log_prob reduces; recompute per-sample pieces here.
                 from mmtpu.models.decoder import apply_decoder
@@ -144,6 +165,8 @@ def fit_e2e(
                 if senti_mask is not None:
                     # zero unlabeled samples BEFORE the mean (simplesif.py:779-784)
                     m = senti_mask[j]
+                    if csh is not None:
+                        m = csh(m)
                     err = err * (m if err.ndim == m.ndim else m[..., None])
                 if err.ndim > 1:
                     err = jnp.mean(err, axis=tuple(range(1, err.ndim)))

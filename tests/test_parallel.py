@@ -93,3 +93,39 @@ def test_fit_latents_mesh_sgd_sparse_path():
                                rtol=2e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(e_m), np.asarray(e_ref),
                                rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_fit_e2e_mesh_matches_single_device(mesh_shape):
+    """The e2e joint fit (the shipped grid's default mode) sharded over the
+    mesh == the single-device fit, including the semi-supervised mask and
+    batch_norm's global batch statistics."""
+    from mmtpu.models.sentiment import init_sentiment
+    from mmtpu.parallel import fit_e2e_mesh
+    from mmtpu.train.e2e import E2EFitSpec, fit_e2e
+
+    data, vocab, init_e, dec, hp = _inputs()
+    hp = dict(hp, likelihood_weight=jnp.float32(1e-4))
+    n = init_e.shape[0]
+    labels = jnp.asarray(
+        np.random.default_rng(7).standard_normal(n).astype(np.float32))
+    senti = init_sentiment(jax.random.key(9), init_e.shape[1], 6, 1)
+    mask = jnp.asarray((np.arange(n) % 3 != 0).astype(np.float32))
+    spec = E2EFitSpec(n_epochs_max=3, batch_size=8, unimodal=False)
+    rng = jax.random.key(4)
+
+    e_ref, dec_ref, sen_ref, l_ref = jax.jit(fit_e2e, static_argnums=(8,))(
+        rng, init_e, dec, senti, data, labels, vocab, hp, spec, mask)
+    mesh = make_fit_mesh(*mesh_shape)
+    e_m, dec_m, sen_m, l_m = fit_e2e_mesh(
+        mesh, rng, init_e, dec, senti, data, labels, vocab, hp, spec, mask)
+    np.testing.assert_allclose(np.asarray(l_m), np.asarray(l_ref),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(e_m), np.asarray(e_ref),
+                               rtol=2e-3, atol=2e-5)
+    for a, b in zip(jax.tree.leaves(sen_m), jax.tree.leaves(sen_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+    for a, b in zip(jax.tree.leaves(dec_m), jax.tree.leaves(dec_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
