@@ -50,10 +50,10 @@ def _acos(x):
 
 
 def _fwd_kernel(lat_ref, vocab_ref, vnorm_ref, out_ref, *, v_total, tile):
-    """One vocab tile: accumulate sum_v (1 - acos(cos)/pi) into out (B, 1)."""
+    """One (row tile, vocab tile): accumulate sum_v (1 - acos(cos)/pi)."""
     import jax.experimental.pallas as pl
 
-    j = pl.program_id(0)
+    j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
@@ -85,7 +85,7 @@ def _bwd_kernel(lat_ref, vocab_ref, vnorm_ref, g_ref, dlat_ref, *, v_total, tile
     """
     import jax.experimental.pallas as pl
 
-    j = pl.program_id(0)
+    j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
@@ -128,6 +128,18 @@ def _pad_dim(x, multiple, axis):
     return jnp.pad(x, widths)
 
 
+_ROW_TILE = 1024  # bounds VMEM when flattened sweep rows run through one call
+
+
+def _row_tiling(latents):
+    """(padded latents, row-tile size, n row tiles) — rows beyond the true
+    count are zero padding, sliced off after the call."""
+    b = latents.shape[0]
+    rt = min(_ROW_TILE, b + (-b) % 8)
+    lat_p = _pad_dim(latents, rt, 0)
+    return lat_p, rt, lat_p.shape[0] // rt
+
+
 def _call_fwd(latents, vocab, vnorm, tile):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -138,18 +150,21 @@ def _call_fwd(latents, vocab, vnorm, tile):
     n_tiles = vocab_p.shape[0] // tile
     d = vocab_p.shape[1]
     b = latents.shape[0]
-    return pl.pallas_call(
+    lat_p, rt, n_rt = _row_tiling(latents)
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel, v_total=v_total, tile=tile),
-        grid=(n_tiles,),
+        grid=(n_rt, n_tiles),  # vocab axis innermost: accumulate per row tile
         in_specs=[
-            pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        out_specs=pl.BlockSpec((rt, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((lat_p.shape[0], 1), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(latents, vocab_p, vnorm_p)
+    )(lat_p, vocab_p, vnorm_p)
+    return out[:b]
 
 
 def _call_bwd(latents, vocab, vnorm, g, tile):
@@ -162,19 +177,23 @@ def _call_bwd(latents, vocab, vnorm, g, tile):
     n_tiles = vocab_p.shape[0] // tile
     d = vocab_p.shape[1]
     b = latents.shape[0]
-    return pl.pallas_call(
+    lat_p, rt, n_rt = _row_tiling(latents)
+    g_p = _pad_dim(g, rt, 0)
+    out = pl.pallas_call(
         functools.partial(_bwd_kernel, v_total=v_total, tile=tile),
-        grid=(n_tiles,),
+        grid=(n_rt, n_tiles),
         in_specs=[
-            pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        out_specs=pl.BlockSpec((rt, d), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((lat_p.shape[0], d), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(latents, vocab_p, vnorm_p, g)
+    )(lat_p, vocab_p, vnorm_p, g_p)
+    return out[:b]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -188,6 +207,14 @@ def angular_partition_pallas(latents, vocab_embeddings, tile=_DEFAULT_TILE):
 
     Returns:
         ``(B, 1)`` partition values.
+
+    Note: a custom row-flattening vmap rule (merge the sweep's K config
+    calls into one ``(K·B, D)`` kernel so the vocabulary streams from HBM
+    once instead of K times) was tried and MEASURED SLOWER on a v5e
+    (7.24 s vs 6.20 s per 32-config chunk): the per-step reshape/relayout
+    of the batched latents costs more than the saved vocabulary traffic.
+    pallas_call's default grid batching is kept; the 2-D (rows × vocab)
+    grid bounds VMEM for large-B calls either way.
     """
     vnorm = jnp.linalg.norm(vocab_embeddings, axis=-1)
     return _call_fwd(latents, vocab_embeddings, vnorm, tile)

@@ -154,6 +154,11 @@ def apply_decoder(
     """
     x = apply_norm(latents, params["norm"], norm_code, batch_weights)
     out = {}
+    # NB: packing the 12 per-head linears into one (D, 2·ΣF_h) GEMM via a
+    # per-step weight concat was tried and MEASURED SLOWER on a v5e (7.32 s
+    # vs 6.20 s per 32-config sweep chunk): the trained weights change every
+    # step, so the concat re-materializes ~3.4 MB/config/step of weight
+    # traffic — more than the small-matmul launch overhead it removes.
     for name, h in params["heads"].items():
         mu = x @ h["w_mu"] + h["b_mu"]
         sigma = jnp.exp(x @ h["w_log_sigma"] + h["b_log_sigma"])

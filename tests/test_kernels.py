@@ -53,3 +53,41 @@ class TestAngularKernel:
         )
         want = word_logprob_angular(lat, vocab, ww, se, mask)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4)
+
+    def test_vmap_grad(self, rng):
+        """vmap(grad(...)) — the sweep's actual pattern — must match XLA;
+        under a shared vocab the batched kernel flattens to one call."""
+        lat = jnp.asarray(rng.standard_normal((3, 8, 12)).astype(np.float32))
+        vocab = jnp.asarray(rng.standard_normal((40, 12)).astype(np.float32))
+        gk = jax.vmap(jax.grad(
+            lambda l: angular_partition_pallas(l, vocab, 16).sum()))(lat)
+        gx = jax.vmap(jax.grad(
+            lambda l: angular_partition(l, vocab).sum()))(lat)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gx), atol=1e-5)
+
+    def test_vmap_over_vocab(self, rng):
+        """Batched vocab (no shared table) stays correct under vmap."""
+        lat = jnp.asarray(rng.standard_normal((3, 6, 12)).astype(np.float32))
+        vocab = jnp.asarray(rng.standard_normal((3, 40, 12)).astype(np.float32))
+        got = jax.vmap(lambda l, v: angular_partition_pallas(l, v, 16))(lat, vocab)
+        want = jax.vmap(angular_partition)(lat, vocab)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+    def test_multi_row_tile(self, rng):
+        """Row counts beyond one row tile (the flattened-sweep shape) split
+        across the 2-D grid and match XLA, padding sliced off."""
+        import mmtpu.kernels.angular as ka
+        lat = jnp.asarray(rng.standard_normal((37, 12)).astype(np.float32))
+        vocab = jnp.asarray(rng.standard_normal((40, 12)).astype(np.float32))
+        orig = ka._ROW_TILE
+        try:
+            ka._ROW_TILE = 16  # force 3 row tiles (37 -> pad 48)
+            got = angular_partition_pallas(lat, vocab, 16)
+            gk = jax.grad(
+                lambda l: angular_partition_pallas(l, vocab, 16).sum())(lat)
+        finally:
+            ka._ROW_TILE = orig
+        want = angular_partition(lat, vocab)
+        gx = jax.grad(lambda l: angular_partition(l, vocab).sum())(lat)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gx), atol=1e-5)
