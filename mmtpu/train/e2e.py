@@ -108,6 +108,8 @@ def fit_e2e(
         [jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
     )
 
+    sparse_sgd = spec.opt_kind == "sgd"
+
     def epoch_body(carry, epoch_idx):
         embed, dec, sen, e_opt, d_opt, s_opt, key = carry
         key, sub = jax.random.split(key)
@@ -117,9 +119,18 @@ def fit_e2e(
         valid = valid_flat.reshape(n_batches, bsz)
         active = epoch_idx < hp["n_epochs"]
 
+        # epoch-contiguous sparse path: permute the table once per epoch,
+        # make each step a contiguous slice/update-slice (identical math —
+        # see the profiled rationale in mmtpu/train/latents.py)
+        if sparse_sgd:
+            embp = embed[idx.reshape(-1)]
+            starts = jnp.arange(n_batches, dtype=jnp.int32) * bsz
+        else:
+            starts = jnp.zeros((n_batches,), jnp.int32)
+
         def batch_body(bcarry, xs):
             embed, dec, sen, e_opt, d_opt, s_opt = bcarry
-            j, row_valid = xs
+            j, row_valid, start = xs
             b = _gather_batch(data, j)
             y = labels[j]
             csh = None
@@ -137,8 +148,6 @@ def fit_e2e(
                         and v.shape[0] == bsz else v)
                     for k, v in b.items()
                 }
-            sparse_sgd = spec.opt_kind == "sgd"
-
             def loss_fn(embed_arg, dec_p, sen_p):
                 lat = embed_arg if sparse_sgd else embed_arg[j]
                 if csh is not None:
@@ -176,13 +185,18 @@ def fit_e2e(
                     jnp.sum(row_valid), 1.0
                 )
 
-            embed_arg = embed[j] if sparse_sgd else embed
+            embed_arg = (
+                jax.lax.dynamic_slice_in_dim(embed, start, bsz)
+                if sparse_sgd else embed
+            )
             loss, (ge, gd, gs) = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
                 embed_arg, dec, sen
             )
             if sparse_sgd:
                 act = jnp.asarray(active, jnp.float32)
-                embed2 = embed.at[j].add(-hp["lr"] * act * ge)
+                embed2 = jax.lax.dynamic_update_slice_in_dim(
+                    embed, embed_arg - hp["lr"] * act * ge, start, 0
+                )
                 e_opt2 = e_opt
             else:
                 embed2, e_opt2 = opt_update(
@@ -208,10 +222,19 @@ def fit_e2e(
                                       active, kind=spec.opt_kind)
             return (embed2, dec2, sen2, e_opt2, d_opt2, s_opt2), loss
 
-        (embed, dec, sen, e_opt, d_opt, s_opt), batch_losses = jax.lax.scan(
-            batch_body, (embed, dec, sen, e_opt, d_opt, s_opt), (idx, valid),
+        (emb_out, dec, sen, e_opt, d_opt, s_opt), batch_losses = jax.lax.scan(
+            batch_body,
+            (embp if sparse_sgd else embed, dec, sen, e_opt, d_opt, s_opt),
+            (idx, valid, starts),
             unroll=spec.unroll,
         )
+        if sparse_sgd:
+            # inverse permutation via argsort (a vmapped int scatter here
+            # crashes the TPU compiler's scatter emitter; sort lowers fine)
+            inv = jnp.argsort(perm)
+            embed = emb_out[:n][inv]
+        else:
+            embed = emb_out
         epoch_loss = jnp.sum(batch_losses)
         if inner_spec is None:
             return (embed, dec, sen, e_opt, d_opt, s_opt, key), epoch_loss

@@ -376,6 +376,8 @@ def _make_epoch_body(data, vocab_emb, hp, spec: LatentFitSpec, n,
         [jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
     )
 
+    sparse_sgd = spec.opt_kind == "sgd"
+
     def epoch_body(carry, epoch_idx):
         embed, dec, e_opt, d_opt, key = carry
         key, sub = jax.random.split(key)
@@ -388,11 +390,24 @@ def _make_epoch_body(data, vocab_emb, hp, spec: LatentFitSpec, n,
         valid = valid_flat.reshape(n_batches, bsz)
         active = epoch_idx < hp["n_epochs"]
 
+        # Epoch-contiguous sparse path: the minibatches ARE the reshaped
+        # permutation, so permute the table ONCE per epoch and make every
+        # step a contiguous dynamic slice / dynamic-update-slice.  The
+        # per-step scatter-add (`embed.at[j].add`) forced XLA into two
+        # full-table layout transposes per step — ~17% of sweep-chunk
+        # execution (profiled; see docs/DESIGN.md).  Each row occurs in
+        # exactly one batch per epoch, and the old path gathered a row's
+        # pre-epoch value anyway, so the math is identical (pad rows are
+        # duplicates of row 0 with exactly-zero gradients, dropped at the
+        # un-permute).
+        if sparse_sgd:
+            embp = embed[idx.reshape(-1)]
+            starts = jnp.arange(n_batches, dtype=jnp.int32) * bsz
+
         def batch_body(bcarry, xs):
             embed, dec, e_opt, d_opt = bcarry
-            j, row_valid = xs
+            j, row_valid, start = xs
             b = _gather_batch(data, j)
-            sparse_sgd = spec.opt_kind == "sgd"
 
             def loss_fn(embed_arg, dec_params):
                 rows = embed_arg if sparse_sgd else embed_arg[j]
@@ -400,7 +415,10 @@ def _make_epoch_body(data, vocab_emb, hp, spec: LatentFitSpec, n,
                     rows, dec_params, b, vocab_emb, hp, spec, row_valid
                 )
 
-            embed_arg = embed[j] if sparse_sgd else embed
+            embed_arg = (
+                jax.lax.dynamic_slice_in_dim(embed, start, bsz)
+                if sparse_sgd else embed
+            )
             if spec.train_decoder:
                 loss, (g_embed, g_dec) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
                     embed_arg, dec
@@ -422,10 +440,10 @@ def _make_epoch_body(data, vocab_emb, hp, spec: LatentFitSpec, n,
                 loss, g_embed = jax.value_and_grad(loss_fn)(embed_arg, dec)
                 dec2, d_opt2 = dec, d_opt
             if sparse_sgd:
-                # row-sparse SGD: only the batch rows change (pad rows carry
-                # exactly-zero gradients, so duplicate pad indices are inert)
                 act = jnp.asarray(active, jnp.float32)
-                embed2 = embed.at[j].add(-hp["lr"] * act * g_embed)
+                embed2 = jax.lax.dynamic_update_slice_in_dim(
+                    embed, embed_arg - hp["lr"] * act * g_embed, start, 0
+                )
                 e_opt2 = e_opt
             else:
                 embed2, e_opt2 = opt_update(
@@ -434,10 +452,20 @@ def _make_epoch_body(data, vocab_emb, hp, spec: LatentFitSpec, n,
                 )
             return (embed2, dec2, e_opt2, d_opt2), loss
 
-        (embed, dec, e_opt, d_opt), batch_losses = jax.lax.scan(
-            batch_body, (embed, dec, e_opt, d_opt), (idx, valid),
+        (emb_out, dec, e_opt, d_opt), batch_losses = jax.lax.scan(
+            batch_body, (embp if sparse_sgd else embed, dec, e_opt, d_opt),
+            (idx, valid, starts if sparse_sgd else jnp.zeros((n_batches,), jnp.int32)),
             unroll=spec.unroll,
         )
+        if sparse_sgd:
+            # un-permute: inverse permutation by scatter of arange (cheap,
+            # once per epoch); pad duplicates are simply dropped
+            # inverse permutation via argsort (a vmapped int scatter here
+            # crashes the TPU compiler's scatter emitter; sort lowers fine)
+            inv = jnp.argsort(perm)
+            embed = emb_out[:n][inv]
+        else:
+            embed = emb_out
         epoch_loss = jnp.sum(batch_losses)
 
         if inner_spec is None:
