@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from mmtpu.models.sentiment import apply_sentiment
 from mmtpu.train.latents import LatentFitSpec, batch_neg_log_prob, _gather_batch
-from mmtpu.train.optim import init_opt_state, opt_update
+from mmtpu.train.optim import OptState, init_opt_state, opt_update
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,6 +109,7 @@ def fit_e2e(
     )
 
     sparse_sgd = spec.opt_kind == "sgd"
+    perm_path = spec.opt_kind in ("sgd", "adam")  # see mmtpu/train/latents.py
 
     def epoch_body(carry, epoch_idx):
         embed, dec, sen, e_opt, d_opt, s_opt, key = carry
@@ -122,11 +123,19 @@ def fit_e2e(
         # epoch-contiguous sparse path: permute the table once per epoch,
         # make each step a contiguous slice/update-slice (identical math —
         # see the profiled rationale in mmtpu/train/latents.py)
-        if sparse_sgd:
-            embp = embed[idx.reshape(-1)]
+        if perm_path:
+            flat = idx.reshape(-1)
+            embp = embed[flat]
             starts = jnp.arange(n_batches, dtype=jnp.int32) * bsz
+            e_opt_in = e_opt
+            if spec.opt_kind == "adam":
+                e_opt_in = OptState(
+                    m=e_opt.m[flat], v=e_opt.v[flat], count=e_opt.count
+                )
         else:
+            embp = embed
             starts = jnp.zeros((n_batches,), jnp.int32)
+            e_opt_in = e_opt
 
         def batch_body(bcarry, xs):
             embed, dec, sen, e_opt, d_opt, s_opt = bcarry
@@ -149,7 +158,7 @@ def fit_e2e(
                     for k, v in b.items()
                 }
             def loss_fn(embed_arg, dec_p, sen_p):
-                lat = embed_arg if sparse_sgd else embed_arg[j]
+                lat = embed_arg if perm_path else embed_arg[j]
                 if csh is not None:
                     lat = csh(lat)
                 # per-sample -log p (reuse the latent-fit loss but per-sample):
@@ -187,7 +196,7 @@ def fit_e2e(
 
             embed_arg = (
                 jax.lax.dynamic_slice_in_dim(embed, start, bsz)
-                if sparse_sgd else embed
+                if perm_path else embed
             )
             loss, (ge, gd, gs) = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
                 embed_arg, dec, sen
@@ -199,6 +208,10 @@ def fit_e2e(
                 )
                 e_opt2 = e_opt
             else:
+                if perm_path:  # adam in permuted space: contiguous dense grad
+                    ge = jax.lax.dynamic_update_slice_in_dim(
+                        jnp.zeros_like(embed), ge, start, 0
+                    )
                 embed2, e_opt2 = opt_update(
                     embed, ge, e_opt, hp["lr"], hp["opt_code"], active,
                     kind=spec.opt_kind,
@@ -224,15 +237,19 @@ def fit_e2e(
 
         (emb_out, dec, sen, e_opt, d_opt, s_opt), batch_losses = jax.lax.scan(
             batch_body,
-            (embp if sparse_sgd else embed, dec, sen, e_opt, d_opt, s_opt),
+            (embp, dec, sen, e_opt_in, d_opt, s_opt),
             (idx, valid, starts),
             unroll=spec.unroll,
         )
-        if sparse_sgd:
+        if perm_path:
             # inverse permutation via argsort (a vmapped int scatter here
             # crashes the TPU compiler's scatter emitter; sort lowers fine)
             inv = jnp.argsort(perm)
             embed = emb_out[:n][inv]
+            if spec.opt_kind == "adam":
+                e_opt = OptState(
+                    m=e_opt.m[:n][inv], v=e_opt.v[:n][inv], count=e_opt.count
+                )
         else:
             embed = emb_out
         epoch_loss = jnp.sum(batch_losses)

@@ -367,7 +367,7 @@ def fit_latents_segment(
 def _make_epoch_body(data, vocab_emb, hp, spec: LatentFitSpec, n,
                      validation, inner_spec):
     """One training epoch as a ``lax.scan`` body over the epoch index."""
-    from mmtpu.train.optim import opt_update
+    from mmtpu.train.optim import OptState, opt_update
 
     bsz = spec.batch_size
     n_batches = -(-n // bsz)
@@ -377,6 +377,9 @@ def _make_epoch_body(data, vocab_emb, hp, spec: LatentFitSpec, n,
     )
 
     sparse_sgd = spec.opt_kind == "sgd"
+    # static optimizer kinds run the epoch in PERMUTED space (see below);
+    # the branchless runtime-code path keeps the classic dense layout
+    perm_path = spec.opt_kind in ("sgd", "adam")
 
     def epoch_body(carry, epoch_idx):
         embed, dec, e_opt, d_opt, key = carry
@@ -400,9 +403,24 @@ def _make_epoch_body(data, vocab_emb, hp, spec: LatentFitSpec, n,
         # pre-epoch value anyway, so the math is identical (pad rows are
         # duplicates of row 0 with exactly-zero gradients, dropped at the
         # un-permute).
-        if sparse_sgd:
-            embp = embed[idx.reshape(-1)]
+        if perm_path:
+            flat = idx.reshape(-1)
+            embp = embed[flat]
             starts = jnp.arange(n_batches, dtype=jnp.int32) * bsz
+            e_opt_in = e_opt
+            if spec.opt_kind == "adam":
+                # Adam's per-row moment tables permute WITH the rows; the
+                # dense-grad table then builds via a contiguous
+                # dynamic-update-slice instead of a scatter — the scatter's
+                # gather-transpose forced ~35% of an Adam chunk's device
+                # time into full-table layout copies (profiled)
+                e_opt_in = OptState(
+                    m=e_opt.m[flat], v=e_opt.v[flat], count=e_opt.count
+                )
+        else:
+            embp = embed
+            starts = jnp.zeros((n_batches,), jnp.int32)
+            e_opt_in = e_opt
 
         def batch_body(bcarry, xs):
             embed, dec, e_opt, d_opt = bcarry
@@ -410,14 +428,14 @@ def _make_epoch_body(data, vocab_emb, hp, spec: LatentFitSpec, n,
             b = _gather_batch(data, j)
 
             def loss_fn(embed_arg, dec_params):
-                rows = embed_arg if sparse_sgd else embed_arg[j]
+                rows = embed_arg if perm_path else embed_arg[j]
                 return batch_neg_log_prob(
                     rows, dec_params, b, vocab_emb, hp, spec, row_valid
                 )
 
             embed_arg = (
                 jax.lax.dynamic_slice_in_dim(embed, start, bsz)
-                if sparse_sgd else embed
+                if perm_path else embed
             )
             if spec.train_decoder:
                 loss, (g_embed, g_dec) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
@@ -446,6 +464,10 @@ def _make_epoch_body(data, vocab_emb, hp, spec: LatentFitSpec, n,
                 )
                 e_opt2 = e_opt
             else:
+                if perm_path:  # adam in permuted space: contiguous dense grad
+                    g_embed = jax.lax.dynamic_update_slice_in_dim(
+                        jnp.zeros_like(embed), g_embed, start, 0
+                    )
                 embed2, e_opt2 = opt_update(
                     embed, g_embed, e_opt, hp["lr"], hp["opt_code"], active,
                     kind=spec.opt_kind,
@@ -453,17 +475,20 @@ def _make_epoch_body(data, vocab_emb, hp, spec: LatentFitSpec, n,
             return (embed2, dec2, e_opt2, d_opt2), loss
 
         (emb_out, dec, e_opt, d_opt), batch_losses = jax.lax.scan(
-            batch_body, (embp if sparse_sgd else embed, dec, e_opt, d_opt),
-            (idx, valid, starts if sparse_sgd else jnp.zeros((n_batches,), jnp.int32)),
+            batch_body, (embp, dec, e_opt_in, d_opt), (idx, valid, starts),
             unroll=spec.unroll,
         )
-        if sparse_sgd:
-            # un-permute: inverse permutation by scatter of arange (cheap,
-            # once per epoch); pad duplicates are simply dropped
+        if perm_path:
+            # un-permute rows (and Adam's moment tables) once per epoch;
             # inverse permutation via argsort (a vmapped int scatter here
-            # crashes the TPU compiler's scatter emitter; sort lowers fine)
+            # crashes the TPU compiler's scatter emitter; sort lowers fine);
+            # pad duplicates are simply dropped
             inv = jnp.argsort(perm)
             embed = emb_out[:n][inv]
+            if spec.opt_kind == "adam":
+                e_opt = OptState(
+                    m=e_opt.m[:n][inv], v=e_opt.v[:n][inv], count=e_opt.count
+                )
         else:
             embed = emb_out
         epoch_loss = jnp.sum(batch_losses)

@@ -424,3 +424,61 @@ def test_unroll_is_semantics_neutral(rng):
         outs.append((np.asarray(e), np.asarray(l)))
     np.testing.assert_array_equal(outs[0][0], outs[1][0])
     np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+@pytest.mark.parametrize("kind", ["sgd", "adam"])
+def test_static_kind_matches_branchless(rng, kind):
+    """The static-kind fits (epoch-permuted tables, contiguous slices,
+    Adam's permuted moment tables + dense-grad-by-update-slice) must equal
+    the branchless runtime-code path (classic dense layout) exactly — the
+    two paths are different memory layouts of the same math."""
+    d = _make_tiny(rng)
+    n, D = d["init_embed"].shape
+    dims = {h: head_dims(h, D, d["audio"].shape[-1], d["visual"].shape[-1])
+            for h in MMB2_HEADS}
+    tm = TorchRefMMB(MMB2_HEADS, D, dims)
+    dec_params = {"heads": {
+        h: {
+            "w_mu": jnp.array(tm.mods[h]["mu"].weight.detach().numpy().T),
+            "b_mu": jnp.array(tm.mods[h]["mu"].bias.detach().numpy()),
+            "w_log_sigma": jnp.array(
+                tm.mods[h]["log_sigma"].weight.detach().numpy().T),
+            "b_log_sigma": jnp.array(
+                tm.mods[h]["log_sigma"].bias.detach().numpy()),
+        } for h in MMB2_HEADS
+    }, "norm": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))}}
+    vocab = jnp.asarray(d["vocab"])
+    data = {
+        "text": jnp.asarray(d["vocab"][d["ids"]]),
+        "text_weights": jnp.asarray(d["vw"][d["ids"]]),
+        "text_mask": jnp.asarray(d["token_mask"]),
+        "text_gauss": jnp.asarray(d["vocab"][d["ids"]]),
+        "text_gauss_mask": jnp.asarray(d["token_mask"]),
+        "audio": jnp.asarray(d["audio"]),
+        "audio_mask": jnp.asarray(d["audio_mask"]),
+        "visual": jnp.asarray(d["visual"]),
+        "visual_mask": jnp.asarray(d["visual_mask"]),
+    }
+    hp = {
+        "lr": jnp.float32(1e-2),
+        "word_loss_weight": jnp.float32(0.002),
+        "opt_code": jnp.int32(OPT_CODES[kind]),
+        "norm_code": jnp.int32(NORM_CODES[None]),
+        "n_epochs": jnp.int32(3),
+    }
+    mk = lambda k: LatentFitSpec(
+        n_epochs_max=3, batch_size=5, train_decoder=True, unimodal=False,
+        shuffle=True, opt_kind=k,
+    )
+    run = lambda k: jax.jit(
+        lambda r, e, p: fit_latents(r, e, p, data, vocab, hp, mk(k)),
+    )(jax.random.key(7), jnp.asarray(d["init_embed"]), dec_params)
+    e_ref, dec_ref, l_ref = run(None)
+    e_st, dec_st, l_st = run(kind)
+    np.testing.assert_allclose(np.asarray(l_st), np.asarray(l_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(e_st), np.asarray(e_ref),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(dec_st), jax.tree.leaves(dec_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
