@@ -129,3 +129,21 @@ def test_fit_e2e_mesh_matches_single_device(mesh_shape):
     for a, b in zip(jax.tree.leaves(dec_m), jax.tree.leaves(dec_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-5)
+
+
+def test_fit_latents_mesh_adam_permuted_path():
+    """The permuted-Adam static path (moment tables permuted per epoch,
+    dense grad via update-slice) composes with batch sharding."""
+    data, vocab, init_e, dec, hp = _inputs(opt="adam")
+    spec = LatentFitSpec(n_epochs_max=3, batch_size=8, train_decoder=True,
+                         unimodal=False, opt_kind="adam")
+    rng = jax.random.key(5)
+    e_ref, _, l_ref = jax.jit(fit_latents, static_argnums=(6,))(
+        rng, init_e, dec, data, vocab, hp, spec)
+    mesh = make_fit_mesh(8, 1)
+    e_m, _, l_m = fit_latents_mesh(mesh, rng, init_e, dec, data, vocab, hp,
+                                   spec)
+    np.testing.assert_allclose(np.asarray(l_m), np.asarray(l_ref),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(e_m), np.asarray(e_ref),
+                               rtol=2e-3, atol=2e-5)
