@@ -5,13 +5,22 @@ scale on synthetic data — MMB2 latent+decoder training (`fit_latents`,
 train_decoder=True, layer_norm, SGD, batch 64, angular word metric, 1284
 train utterances, vocab 3016×300, audio 74 / visual 47 features, seq 20).
 
-Metric: utterances/sec/chip, steady state (post-compile).
+Metric: utterances/sec/chip, steady state (post-compile).  Headline value is
+measured with K back-to-back fits chained inside ONE compiled program
+(lax.scan), because a single dispatch over the axon relay carries a ~70 ms
+constant round-trip (measured 2026-08-17: trivial-op round-trip 0.067-0.080 s
+vs 0.19 s for a full 100-epoch fit) — per-dispatch overhead is not device
+throughput.  The raw single-dispatch number is reported alongside.
+
 Baseline: the reference implementation driven unmodified on CPU measures
 19.7 utt/s on the identical workload (BASELINE.md) — the torch reference has
 no TPU path, so CPU is its best available number in this environment.
 
-Env knobs: MMTPU_BENCH_EPOCHS (default 100), MMTPU_BENCH_SWEEP=1 additionally
-reports an in-process multi-config sweep rate to stderr.
+The JSON line also carries the PRODUCTION sweep numbers (VERDICT.md r2 §2):
+a 16-config in-process sweep's configs/hour, exec-vs-compile split, and
+sweep-mode model-FLOPs MFU.  Env knobs: MMTPU_BENCH_EPOCHS (default 100),
+MMTPU_BENCH_SWEEP=0 skips the sweep section, MMTPU_BENCH_CHAIN (default 4)
+sets K.
 """
 
 import json
@@ -71,18 +80,19 @@ def main() -> None:
     try:
         from mmtpu.utils.cache import enable_compilation_cache
         enable_compilation_cache()
-        
     except Exception:
         pass
     import jax.numpy as jnp
 
     from mmtpu.data.pipeline import prepare_device_data
     from mmtpu.data.synthetic import synthesize_dataset
+    from mmtpu.kernels.angular import default_partition_fn
     from mmtpu.models.decoder import NORM_CODES, init_decoder
     from mmtpu.train.latents import LatentFitSpec, fit_latents
     from mmtpu.train.optim import OPT_CODES
 
     n_epochs = int(os.environ.get("MMTPU_BENCH_EPOCHS", "100"))
+    k_chain = int(os.environ.get("MMTPU_BENCH_CHAIN", "4"))
     n_train = 1284
 
     ds = synthesize_dataset(
@@ -105,37 +115,63 @@ def main() -> None:
         "norm_code": jnp.int32(NORM_CODES["layer_norm"]),
         "n_epochs": jnp.int32(n_epochs),
     }
-    partition_fn = None
-    if jax.default_backend() == "tpu":
-        # production default (mmtpu.sweep): the fused Pallas partition kernel
-        from mmtpu.kernels.angular import angular_partition_pallas
-
-        partition_fn = angular_partition_pallas
     spec = LatentFitSpec(
         n_epochs_max=n_epochs, batch_size=64, train_decoder=True,
         unimodal=False, word_metric="angular",
         opt_kind="sgd",  # static kind: sparse embedding updates (production path)
-        partition_fn=partition_fn,
+        # 64 rows: below MIN_PALLAS_ROWS — measured PARITY with the fused
+        # kernel at this shape (scripts/diag_b64_pallas.py), so skip its
+        # compile; sweeps (2048-row chunks) still default the kernel on.
+        partition_fn=default_partition_fn(64),
     )
     fit = jax.jit(fit_latents, static_argnums=(6,))
 
-    # compile + warm run (np.asarray forces full materialization — on the
-    # axon backend block_until_ready alone returns before execution finishes)
+    def run_once(key):
+        out = fit(key, init_embed, dec, data, vocab, hp, spec)
+        # np.asarray forces full materialization — on the axon backend
+        # block_until_ready alone can return before execution finishes
+        return np.asarray(out[2]), np.asarray(out[0])
+
+    # compile + settle: the relay's first dispatches after a compile run
+    # multi-x slower than steady state (measured: 1.0 s settling to 0.19 s)
+    print("[bench] compiling single fit...", file=sys.stderr, flush=True)
     t0 = time.time()
-    out = fit(jax.random.key(1), init_embed, dec, data, vocab, hp, spec)
-    np.asarray(out[0])
+    losses, embed_out = run_once(jax.random.key(1))
     warm = time.time() - t0
-    # steady state: best of 3 (the relay adds multi-ms dispatch jitter)
-    dt = float("inf")
-    for i in range(3):
-        t0 = time.time()
-        out = fit(jax.random.key(2 + i), init_embed, dec, data, vocab, hp, spec)
-        embed_out = np.asarray(out[0])
-        losses = np.asarray(out[2])
-        dt = min(dt, time.time() - t0)
-    utt_per_s = n_train * n_epochs / dt
+    print(f"[bench] warm fit done in {warm:.1f}s", file=sys.stderr, flush=True)
     assert np.isfinite(losses).all(), "bench trajectory went non-finite"
     assert np.isfinite(embed_out).all()
+    for i in range(3):
+        run_once(jax.random.key(2 + i))
+
+    # raw single-dispatch time (includes ~70 ms relay round-trip), best of 8
+    dt_single = float("inf")
+    for i in range(8):
+        t0 = time.time()
+        run_once(jax.random.key(10 + i))
+        dt_single = min(dt_single, time.time() - t0)
+
+    # headline: K fits chained in one program — dispatch overhead amortized
+    def chain(keys):
+        def body(c, k):
+            e, _, ls = fit_latents(k, init_embed, dec, data, vocab, hp, spec)
+            return c + jnp.sum(e), ls[-1]
+        return jax.lax.scan(body, jnp.float32(0), keys)
+
+    print(f"[bench] single-dispatch best={dt_single:.3f}s; compiling "
+          f"x{k_chain} chain...", file=sys.stderr, flush=True)
+    chain_j = jax.jit(chain)
+    keys = jax.random.split(jax.random.key(42), k_chain)
+    np.asarray(chain_j(keys)[1])  # compile + warm
+    dt_chain = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _, last_losses = chain_j(keys)
+        last_losses = np.asarray(last_losses)
+        dt_chain = min(dt_chain, time.time() - t0)
+    assert np.isfinite(last_losses).all()
+    dt = dt_chain / k_chain
+    utt_per_s = n_train * n_epochs / dt
 
     # ---- MFU: model (matmul-only) FLOPs vs chip peak ----
     B = 64
@@ -152,30 +188,37 @@ def main() -> None:
     print(
         f"[bench] backend={jax.default_backend()} "
         f"({jax.devices()[0].device_kind}) warm={warm:.2f}s "
-        f"steady={dt:.3f}s for {n_epochs} epochs "
+        f"chained={dt:.3f}s/fit (x{k_chain}) single-dispatch={dt_single:.3f}s "
+        f"for {n_epochs} epochs "
         f"({utt_per_s:.0f} utt/s; reference CPU {REFERENCE_CPU_UTT_PER_S}); "
         f"{achieved_tflops:.1f} TFLOP/s model = {mfu * 100:.1f}% of "
         f"{peak / 1e12:.0f} TFLOP/s peak",
         file=sys.stderr,
     )
 
-    if os.environ.get("MMTPU_BENCH_SWEEP") == "1":
-        _sweep_rate(prep, file=sys.stderr)
-
-    print(json.dumps({
+    record = {
         "metric": "utterances/sec/chip (MMB2 train)",
         "value": round(utt_per_s, 1),
         "unit": "utterances/sec",
         "vs_baseline": round(utt_per_s / REFERENCE_CPU_UTT_PER_S, 2),
         "mfu_pct": round(mfu * 100, 2),
         "model_tflops_per_s": round(achieved_tflops, 2),
-    }))
+        "single_dispatch_utt_per_s": round(n_train * n_epochs / dt_single, 1),
+    }
+
+    if os.environ.get("MMTPU_BENCH_SWEEP", "1") != "0":
+        try:
+            record.update(_sweep_rate(file=sys.stderr))
+        except Exception as e:  # pragma: no cover — keep the headline alive
+            print(f"[bench] sweep section failed: {e}", file=sys.stderr)
+
+    print(json.dumps(record))
 
 
-def _sweep_rate(prep, file=sys.stderr) -> None:
-    """Optional: full-pipeline in-process sweep rate (configs/hour) + the
-    sweep-mode MFU (the production path — K vmapped configs multiply every
-    matmul's effective batch)."""
+def _sweep_rate(file=sys.stderr) -> dict:
+    """PRODUCTION-path numbers: full-pipeline in-process sweep rate
+    (configs/hour), exec-vs-compile split, and sweep-mode model-FLOPs MFU
+    (K vmapped configs multiply every matmul's effective batch)."""
     import jax
 
     from mmtpu.config import make_grid
@@ -202,15 +245,23 @@ def _sweep_rate(prep, file=sys.stderr) -> None:
         flops += step(64, 3016) * (-(-1284 // 64)) * ne  # train fit
         flops += step(512, 3016) * (-(-229 // 512)) * ne  # valid fit
         flops += step(512, 3016) * (-(-686 // 512)) * ne  # test fit
-    exec_s = res.wall_time_s - res.compile_time_s
+    exec_s = max(res.wall_time_s - res.compile_time_s, 1e-9)
     peak = _peak_flops(jax.devices()[0])
+    mfu = flops / exec_s / peak
     print(
         f"[bench] sweep: {res.n_configs} configs in {res.wall_time_s:.1f}s "
         f"(compile {res.compile_time_s:.1f}s) → {rate:.0f} configs/hour; "
-        f"~{flops / max(exec_s, 1e-9) / 1e12:.1f} TFLOP/s model "
-        f"= {flops / max(exec_s, 1e-9) / peak * 100:.1f}% MFU (exec time)",
+        f"~{flops / exec_s / 1e12:.1f} TFLOP/s model "
+        f"= {mfu * 100:.1f}% MFU (exec time)",
         file=file,
     )
+    return {
+        "sweep_configs_per_hour": round(rate, 1),
+        "sweep_exec_s": round(exec_s, 2),
+        "sweep_compile_s": round(res.compile_time_s, 2),
+        "sweep_mfu_pct": round(mfu * 100, 2),
+        "sweep_configs_per_hour_exec": round(res.n_configs / exec_s * 3600, 1),
+    }
 
 
 if __name__ == "__main__":

@@ -125,7 +125,10 @@ def pom_loss(predictions: np.ndarray, y_test: np.ndarray, verbose: bool = True) 
     predictions = np.asarray(predictions)
     y_test = np.asarray(y_test)
     n_traits = y_test.shape[1]
-    mae = [round(float(a), 3) for a in np.mean(np.absolute(predictions - y_test), axis=0)]
+    # reference rounds np.float32 values (losses.py:345-346), so its floats
+    # carry f32 repr noise (3.573 → 3.572999954...); cast back for bit parity
+    mae = [float(np.float32(round(float(a), 3)))
+           for a in np.mean(np.absolute(predictions - y_test), axis=0)]
     corr = [
         round(float(np.corrcoef(predictions[:, i], y_test[:, i])[0][1]), 3)
         for i in range(n_traits)

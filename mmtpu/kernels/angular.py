@@ -36,6 +36,23 @@ def pallas_available() -> bool:
         return False
 
 
+# Minimum effective row count (configs x batch under a vmapped sweep) for the
+# fused kernel to be the default.  Measured on a v5e (scripts/diag_b64_pallas
+# .py, 2026-08-17): at 64 rows the kernel is PARITY with XLA (1.007 s vs
+# 1.025 s per 100-epoch fit — within relay noise), while on 2048-row sweep
+# chunks it wins 13-29% end-to-end (docs/DESIGN.md).  Below the threshold we
+# skip the extra Mosaic compile for a wash.
+MIN_PALLAS_ROWS = 256
+
+
+def default_partition_fn(rows: int):
+    """Shape-aware production default: the fused Pallas kernel when the
+    effective row count amortizes it, else None (XLA ``angular_partition``)."""
+    if pallas_available() and rows >= MIN_PALLAS_ROWS:
+        return angular_partition_pallas
+    return None
+
+
 def _acos(x):
     """arccos for Mosaic (no native lowering): Abramowitz & Stegun 4.4.45,
     |err| < 2e-8 — below float32 noise.  acos(x) = sqrt(1-x)·P(x) on [0, 1],

@@ -16,7 +16,12 @@ from mmtpu.parallel.collectives import (
     sharded_angular_partition,
     sharded_gaussian_logpdf,
 )
-from mmtpu.parallel.fit import fit_e2e_mesh, fit_latents_mesh, make_fit_mesh
+from mmtpu.parallel.fit import (
+    fit_e2e_mesh,
+    fit_latents_mesh,
+    make_fit_mesh,
+    place_fit_inputs,
+)
 from mmtpu.parallel.multihost import (
     init_multihost,
     run_sweep_multihost,
@@ -32,6 +37,7 @@ __all__ = [
     "fit_e2e_mesh",
     "fit_latents_mesh",
     "make_fit_mesh",
+    "place_fit_inputs",
     "init_multihost",
     "run_sweep_multihost",
     "shard_configs",

@@ -46,6 +46,52 @@ def _mesh_context(mesh: Mesh):
     return mesh
 
 
+def place_fit_inputs(
+    mesh: Mesh,
+    vocab_emb,
+    spec,
+    batch_axis: Optional[str],
+    vocab_axis: Optional[str],
+    *replicated_trees,
+):
+    """Shared input placement for the mesh fits: the vocabulary table is
+    row-sharded over ``vocab_axis`` (when divisible), everything else is
+    replicated, and ``spec.batch_shard_axis`` is set so the per-step GSPMD
+    constraint splits minibatch rows over ``batch_axis``.
+
+    Returns ``(vocab_placed, spec, placed_trees...)`` — exposed (rather than
+    inlined in :func:`fit_latents_mesh`) so callers like
+    ``__graft_entry__.dryrun_multichip`` can assert the actual device
+    placement instead of trusting GSPMD not to replicate.
+    """
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    repl = NamedSharding(mesh, P())
+
+    vocab_emb = jnp.asarray(vocab_emb)
+    n_v = axis_sizes.get(vocab_axis, 1) if vocab_axis else 1
+    vocab_sh = (
+        NamedSharding(mesh, P(vocab_axis))
+        if vocab_axis and n_v > 1 and vocab_emb.shape[0] % n_v == 0
+        else repl
+    )
+    vocab_emb = jax.device_put(vocab_emb, vocab_sh)
+
+    put = lambda t: jax.tree.map(
+        lambda x: jax.device_put(jnp.asarray(x), repl), t
+    )
+    placed = tuple(put(t) for t in replicated_trees)
+
+    n_b = axis_sizes.get(batch_axis, 1) if batch_axis else 1
+    spec = dataclasses.replace(
+        spec,
+        batch_shard_axis=(
+            batch_axis if batch_axis and n_b > 1
+            and spec.batch_size % n_b == 0 else None
+        ),
+    )
+    return (vocab_emb, spec) + placed
+
+
 def fit_latents_mesh(
     mesh: Mesh,
     rng: jax.Array,
@@ -67,33 +113,9 @@ def fit_latents_mesh(
     extent disables row sharding for that call; a vocab size not divisible by
     the vocab-axis extent keeps the vocab replicated.
     """
-    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-    repl = NamedSharding(mesh, P())
-
-    vocab_emb = jnp.asarray(vocab_emb)
-    n_v = axis_sizes.get(vocab_axis, 1) if vocab_axis else 1
-    vocab_sh = (
-        NamedSharding(mesh, P(vocab_axis))
-        if vocab_axis and n_v > 1 and vocab_emb.shape[0] % n_v == 0
-        else repl
-    )
-    vocab_emb = jax.device_put(vocab_emb, vocab_sh)
-
-    put = lambda t: jax.tree.map(
-        lambda x: jax.device_put(jnp.asarray(x), repl), t
-    )
-    data = put(dict(data))
-    init_embed = put(init_embed)
-    decoder_params = put(decoder_params)
-    hp = put(dict(hp))
-
-    n_b = axis_sizes.get(batch_axis, 1) if batch_axis else 1
-    spec = dataclasses.replace(
-        spec,
-        batch_shard_axis=(
-            batch_axis if batch_axis and n_b > 1
-            and spec.batch_size % n_b == 0 else None
-        ),
+    vocab_emb, spec, data, init_embed, decoder_params, hp = place_fit_inputs(
+        mesh, vocab_emb, spec, batch_axis, vocab_axis,
+        dict(data), init_embed, decoder_params, dict(hp),
     )
     with _mesh_context(mesh):
         return _fit(rng, init_embed, decoder_params, data, vocab_emb, hp, spec)
@@ -119,38 +141,15 @@ def fit_e2e_mesh(
     ``mesh``, with the same axis semantics and graceful degradation as
     :func:`fit_latents_mesh`.  Equivalence-tested on the 8-device CPU mesh
     (tests/test_parallel.py)."""
-    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-    repl = NamedSharding(mesh, P())
-
-    vocab_emb = jnp.asarray(vocab_emb)
-    n_v = axis_sizes.get(vocab_axis, 1) if vocab_axis else 1
-    vocab_sh = (
-        NamedSharding(mesh, P(vocab_axis))
-        if vocab_axis and n_v > 1 and vocab_emb.shape[0] % n_v == 0
-        else repl
+    (vocab_emb, spec, data, init_embed, decoder_params, senti_params,
+     labels, hp) = place_fit_inputs(
+        mesh, vocab_emb, spec, batch_axis, vocab_axis,
+        dict(data), init_embed, decoder_params, senti_params, labels,
+        dict(hp),
     )
-    vocab_emb = jax.device_put(vocab_emb, vocab_sh)
-
-    put = lambda t: jax.tree.map(
-        lambda x: jax.device_put(jnp.asarray(x), repl), t
-    )
-    data = put(dict(data))
-    init_embed = put(init_embed)
-    decoder_params = put(decoder_params)
-    senti_params = put(senti_params)
-    labels = put(labels)
-    hp = put(dict(hp))
     if senti_mask is not None:
-        senti_mask = put(senti_mask)
-
-    n_b = axis_sizes.get(batch_axis, 1) if batch_axis else 1
-    spec = dataclasses.replace(
-        spec,
-        batch_shard_axis=(
-            batch_axis if batch_axis and n_b > 1
-            and spec.batch_size % n_b == 0 else None
-        ),
-    )
+        senti_mask = jax.device_put(
+            jnp.asarray(senti_mask), NamedSharding(mesh, P()))
     with _mesh_context(mesh):
         return _fit_e2e(rng, init_embed, decoder_params, senti_params, data,
                         labels, vocab_emb, hp, spec, senti_mask)

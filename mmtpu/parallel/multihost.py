@@ -51,6 +51,11 @@ def init_multihost(
         # no coordinator anywhere → single-process run; initialize() would
         # fail cluster auto-detection, and there is nothing to set up
         return
+    # idempotence: inspect the runtime state directly rather than parsing
+    # initialize()'s error message (brittle across JAX versions)
+    state = getattr(jax.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -58,7 +63,7 @@ def init_multihost(
             process_id=process_id,
             **kw,
         )
-    except RuntimeError as e:  # idempotence: already initialized
+    except RuntimeError as e:  # fallback idempotence check
         if "already" not in str(e).lower():
             raise
 
@@ -100,11 +105,15 @@ def run_sweep_multihost(
     import jax
     from jax.experimental import multihost_utils
 
-    from mmtpu.sweep.runner import SweepResult, run_sweep
+    from mmtpu.sweep.runner import SweepResult, empty_sweep_result, run_sweep
 
     P = jax.process_count()
     pid = jax.process_index()
     local_cfgs, cfg_idx = shard_configs(configs, pid, P)
+    # default-stamp the GLOBAL grid index so two processes never both emit
+    # config_num 0,1,... (run_sweep's fallback is the local shard index)
+    local_cfgs = [c if "config_num" in c else dict(c, config_num=int(g))
+                  for c, g in zip(local_cfgs, cfg_idx)]
     if kw.get("checkpoint_dir"):
         kw = dict(kw, checkpoint_dir=f"{kw['checkpoint_dir']}_p{pid}")
     if verbose:
@@ -112,7 +121,12 @@ def run_sweep_multihost(
               f"{len(configs)} configs on {jax.local_device_count()} "
               "local device(s)")
 
-    local = run_sweep(local_cfgs, prep, n_runs=n_runs, verbose=verbose, **kw)
+    if local_cfgs:
+        local = run_sweep(local_cfgs, prep, n_runs=n_runs, verbose=verbose, **kw)
+    else:
+        # empty shard (more processes than configs): still participate in the
+        # allgather below — the other processes block on this one
+        local = empty_sweep_result(prep)
 
     # global expanded order is config-major, run-minor (run_sweep's n_runs
     # expansion); local row (j, r) lands at global (cfg_idx[j]*n_runs + r)

@@ -70,12 +70,45 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--pallas", action="store_true",
                         help="use the fused Pallas kernel for the angular "
                              "word-likelihood partition")
+    parser.add_argument("--mesh", metavar="AXES", nargs="?", const="data,vocab",
+                        help="span ONE config across all devices on a "
+                             "('data','vocab') mesh: 'data' (all devices on "
+                             "the batch axis), 'vocab', 'data,vocab' (split), "
+                             "or explicit sizes 'data=4,vocab=2'")
+    parser.add_argument("--resume_dir", metavar="DIR",
+                        help="epoch-segment checkpoint dir: a killed run "
+                             "restarted with the same DIR resumes where it "
+                             "stopped (non-e2e fits)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no_artifacts", action="store_true")
     parser.add_argument("--profile", metavar="DIR", nargs="?",
                         const="/tmp/mmtpu_trace",
                         help="capture a jax.profiler device trace of the run")
     return parser.parse_args(argv)
+
+
+def _parse_mesh(spec: str):
+    """'data' | 'vocab' | 'data,vocab' | 'data=4,vocab=2' → a
+    ``mmtpu.parallel.make_fit_mesh`` ("data","vocab") Mesh over all devices."""
+    import jax
+
+    from mmtpu.parallel import make_fit_mesh
+
+    sizes = {}
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        name, _, val = part.partition("=")
+        if name not in ("data", "vocab"):
+            raise ValueError(f"unknown mesh axis {name!r} (want data/vocab)")
+        sizes[name] = int(val) if val else None
+    n = len(jax.devices())
+    n_b, n_v = sizes.get("data", 1), sizes.get("vocab", 1)
+    if "data" in sizes and "vocab" in sizes and n_b is None and n_v is None:
+        n_v = 2 if n % 2 == 0 and n > 1 else 1  # default split
+        n_b = n // n_v
+    return make_fit_mesh(n_b, n_v)
 
 
 def main(argv=None) -> int:
@@ -119,6 +152,12 @@ def main(argv=None) -> int:
     if prep.synthetic:
         print("[mmtpu] real data blobs not found — using synthetic stand-ins")
 
+    mesh = None
+    if args.mesh:
+        mesh = _parse_mesh(args.mesh)
+        print(f"[mmtpu] mesh {dict(zip(mesh.axis_names, mesh.devices.shape))} "
+              f"over {mesh.devices.size} device(s)")
+
     import contextlib
 
     from mmtpu.utils.profiling import trace
@@ -136,6 +175,9 @@ def main(argv=None) -> int:
                 save_artifacts=not args.no_artifacts,
                 time_test=args.time_test,
                 validation_curve=args.validation_curve,
+                mesh=mesh,
+                resume_dir=(f"{args.resume_dir}_run{r}" if args.resume_dir
+                            and cfg.n_runs > 1 else args.resume_dir),
             )
             all_results.append(res)
             print(f"run {r}: train_time={res['train_time_s']:.2f}s "

@@ -169,15 +169,34 @@ def run_experiment(
     time_test: bool = False,
     validation_curve: bool = False,
     verbose: bool = True,
+    mesh=None,
+    resume_dir: Optional[str] = None,
 ) -> Dict:
     """Run one full experiment for one config.  Returns a results dict.
 
     ``validation_curve=True`` reproduces the reference's recursive
     validation-during-training (a full frozen-decoder refit of the valid
     split every 80 epochs — simplesif.py:146-159); expensive, off by default.
+
+    ``mesh`` (a jax Mesh with "data"/"vocab" axes — see
+    ``mmtpu.parallel.make_fit_mesh``) spans ONE config across chips: batch
+    rows shard over "data" with gradient psum, the vocab table over "vocab"
+    (new capability vs the single-device reference, SURVEY.md §2 row 23).
+
+    ``resume_dir`` makes the (non-e2e) training fit epoch-segment resumable
+    via ``mmtpu.train.chunked.fit_latents_checkpointed`` — a killed run
+    restarted with the same dir continues where it stopped.
     """
     if prep is None:
         prep = prepare(cfg, data_dir)
+    if mesh is not None and validation_curve:
+        raise ValueError("--mesh does not support --validation_curve "
+                         "(the mesh fits are no-validation programs)")
+    if resume_dir is not None and cfg.e2e:
+        raise ValueError("--resume_dir supports non-e2e fits only "
+                         "(pass --e2e n or set e2e: false in the config)")
+    if resume_dir is not None and mesh is not None:
+        raise ValueError("--resume_dir and --mesh are mutually exclusive")
 
     store = None
     if save_artifacts:
@@ -233,23 +252,34 @@ def run_experiment(
         # e2e freeze_weights: heads frozen, norm still trains (see
         # mmtpu.train.e2e — simplesif.py:689-691 vs models.py:170-178)
         e2e_hp = dict(hp, train_heads=jnp.float32(not cfg.freeze_weights))
-        out = _fit_e2e(
-            k_fit,
-            jnp.asarray(prep.sif_init["train"]),
-            decoder,
-            senti0,
-            train_view(prep.splits["train"]),
-            jnp.asarray(prep.labels["train"]),
-            vocab,
-            e2e_hp,
-            espec,
-            senti_mask=None if semi_mask is None else jnp.asarray(semi_mask),
-            validation=(
-                (jnp.asarray(prep.sif_init["valid"]),
-                 train_view(prep.splits["valid"]))
-                if validation_curve else None
-            ),
-        )
+        if mesh is not None:
+            from mmtpu.parallel import fit_e2e_mesh
+
+            out = fit_e2e_mesh(
+                mesh, k_fit,
+                jnp.asarray(prep.sif_init["train"]), decoder, senti0,
+                train_view(prep.splits["train"]),
+                jnp.asarray(prep.labels["train"]), vocab, e2e_hp, espec,
+                senti_mask=None if semi_mask is None else jnp.asarray(semi_mask),
+            )
+        else:
+            out = _fit_e2e(
+                k_fit,
+                jnp.asarray(prep.sif_init["train"]),
+                decoder,
+                senti0,
+                train_view(prep.splits["train"]),
+                jnp.asarray(prep.labels["train"]),
+                vocab,
+                e2e_hp,
+                espec,
+                senti_mask=None if semi_mask is None else jnp.asarray(semi_mask),
+                validation=(
+                    (jnp.asarray(prep.sif_init["valid"]),
+                     train_view(prep.splits["valid"]))
+                    if validation_curve else None
+                ),
+            )
         if validation_curve:
             train_embed, decoder, _, train_losses, valid_curve = out
         else:
@@ -277,6 +307,22 @@ def run_experiment(
                 spec,
                 (jnp.asarray(prep.sif_init["valid"]), train_view(prep.splits["valid"])),
             )
+        elif mesh is not None:
+            from mmtpu.parallel import fit_latents_mesh
+
+            train_embed, decoder, train_losses = fit_latents_mesh(
+                mesh, k_fit, jnp.asarray(prep.sif_init["train"]), decoder,
+                train_view(prep.splits["train"]), vocab, hp, spec,
+            )
+        elif resume_dir is not None:
+            from mmtpu.io.checkpoint import Checkpointer
+            from mmtpu.train.chunked import fit_latents_checkpointed
+
+            train_embed, decoder, train_losses = fit_latents_checkpointed(
+                k_fit, jnp.asarray(prep.sif_init["train"]), decoder,
+                train_view(prep.splits["train"]), vocab, hp, spec,
+                checkpointer=Checkpointer(resume_dir), verbose=verbose,
+            )
         else:
             train_embed, decoder, train_losses = _fit_latents(
                 k_fit,
@@ -300,14 +346,20 @@ def run_experiment(
         partition_fn=partition_fn,
         opt_kind=cfg.optimizer,
     )
-    valid_embed, _, valid_losses = _fit_latents(
-        k_val, jnp.asarray(prep.sif_init["valid"]), decoder,
-        train_view(prep.splits["valid"]), vocab, hp, infer_spec,
-    )
-    test_embed, _, test_losses = _fit_latents(
-        k_test, jnp.asarray(prep.sif_init["test"]), decoder,
-        train_view(prep.splits["test"]), vocab, hp, infer_spec,
-    )
+    if mesh is not None:
+        from mmtpu.parallel import fit_latents_mesh
+
+        _infer = lambda k, s, e: fit_latents_mesh(
+            mesh, k, jnp.asarray(e), decoder,
+            train_view(prep.splits[s]), vocab, hp, infer_spec)
+    else:
+        _infer = lambda k, s, e: _fit_latents(
+            k, jnp.asarray(e), decoder,
+            train_view(prep.splits[s]), vocab, hp, infer_spec)
+    valid_embed, _, valid_losses = _infer(
+        k_val, "valid", prep.sif_init["valid"])
+    test_embed, _, test_losses = _infer(
+        k_test, "test", prep.sif_init["test"])
     jax.block_until_ready(test_embed)
     train_time = time.time() - t_train_start
 

@@ -107,11 +107,23 @@ def main(argv=None) -> int:
     print(f"[sweep] {len(configs)} configs on {args.dataset} "
           f"(prep {time.time() - t0:.1f}s)")
 
+    if args.multihost:
+        # must run BEFORE anything touches jax.devices() (e.g. make_mesh):
+        # backend init precludes jax.distributed.initialize
+        from mmtpu.parallel.multihost import init_multihost
+
+        init_multihost()
+
     mesh = None
     if args.mesh:
+        import jax
+
         from mmtpu.parallel import make_mesh
 
-        mesh = make_mesh()
+        # multihost: each process sweeps its config shard on its OWN chips
+        # (a global-device mesh would device_put to non-addressable devices)
+        devices = jax.local_devices() if args.multihost else None
+        mesh = make_mesh(devices=devices)
         print(f"[sweep] mesh over {mesh.devices.size} devices")
 
     mask = None
@@ -139,9 +151,8 @@ def main(argv=None) -> int:
         validation_curve=args.validation_curve,
     )
     if args.multihost:
-        from mmtpu.parallel.multihost import init_multihost, run_sweep_multihost
+        from mmtpu.parallel.multihost import run_sweep_multihost
 
-        init_multihost()
         res = run_sweep_multihost(configs, prep, **sweep_kw)
         import jax
 

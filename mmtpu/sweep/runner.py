@@ -59,6 +59,33 @@ class SweepResult:
         return out
 
 
+def metric_schema(prep) -> Dict[str, tuple]:
+    """Per-config metric names → trailing shapes for ``prep``'s dataset —
+    mirrors the metric-fn selection below (mosi_metrics/pom_metrics/
+    iemocap_metrics output keys; kept in sync by tests/test_multihost.py)."""
+    if prep.name == "mosi":
+        return {k: () for k in ("mae", "corr", "mult_acc", "f_score", "accuracy")}
+    if prep.name == "pom":
+        t = int(prep.labels["test"].shape[1])
+        return {k: (t,) for k in ("mae", "corr", "mult_acc", "f_score")}
+    return {k: () for k in ("accuracy", "f_score")}
+
+
+def empty_sweep_result(prep) -> "SweepResult":
+    """Zero-config :class:`SweepResult` with the correct metric schema —
+    lets a process whose multihost shard is empty still participate in the
+    end-of-sweep allgather (pytree structure must match across processes)."""
+    return SweepResult(
+        config_nums=np.zeros((0,), np.int64),
+        run_idxs=np.zeros((0,), np.int64),
+        final_train_loss=np.zeros((0,), np.float32),
+        metrics={k: np.zeros((0,) + s, np.float32)
+                 for k, s in metric_schema(prep).items()},
+        wall_time_s=0.0,
+        n_configs=0,
+    )
+
+
 def _data_axes(data: Dict) -> Dict:
     """vmap in_axes for the shared data dict: everything broadcast except the
     per-config positional channel mask."""
@@ -278,15 +305,19 @@ def run_sweep(
     if validation_curve:
         statics = _dc.replace(statics, validation_curve=True)
     if use_pallas is None:
-        # default ON for TPU backends: measured per-chunk execution savings
-        # of ~13% (adam buckets) / ~29% (sgd buckets) recur every chunk,
-        # while the extra Mosaic compile (~1-2 min across buckets) is paid
-        # once ever — the CLIs enable the persistent compilation cache, so
-        # subsequent processes reuse the compiled kernels (measured: 16-cfg
-        # sweep 96.7 s cold → 65.0 s warm, vs 66.9 s without the kernel)
-        import jax as _jax
+        # default ON for TPU sweeps whose effective row count (configs/chunk
+        # x batch) amortizes the fused kernel: measured per-chunk execution
+        # savings of ~13% (adam buckets) / ~29% (sgd buckets) recur every
+        # chunk, while the extra Mosaic compile (~1-2 min across buckets) is
+        # paid once ever — the CLIs enable the persistent compilation cache,
+        # so subsequent processes reuse the compiled kernels (measured:
+        # 16-cfg sweep 96.7 s cold → 65.0 s warm, vs 66.9 s without the
+        # kernel).  Below MIN_PALLAS_ROWS the kernel is a wash vs XLA
+        # (scripts/diag_b64_pallas.py) and the compile isn't worth it.
+        from mmtpu.kernels.angular import MIN_PALLAS_ROWS, pallas_available
 
-        use_pallas = _jax.default_backend() == "tpu"
+        eff_rows = min(chunk_size or len(configs), len(configs)) * batch_size
+        use_pallas = pallas_available() and eff_rows >= MIN_PALLAS_ROWS
     if use_pallas and statics.word_metric == "angular":
         statics = _dc.replace(statics, use_pallas=True)
     if statics.pos_max > 0:

@@ -1,11 +1,22 @@
 """Full-scale accuracy parity: reference (torch, unmodified) vs mmtpu.
 
 Drives the reference's own training code (``optimize_latents``
-simplesif.py:49-162, ``train_sentiment`` sentiment_model.py:76-163,
-``full_loss`` losses.py:276-315, imported via sys.path from
-$MMTPU_REFERENCE, default /root/reference) and mmtpu side by side on
-IDENTICAL full-size synthetic MOSI data (1284/229/686 utterances, vocab
-3016x300, audio 74, visual 47, seq 20) with:
+simplesif.py:49-162, ``train_sentiment`` sentiment_model.py:76-163, and the
+dataset metric fns ``full_loss``/``pom_loss``/``iemocap_loss``
+losses.py:276-366, imported via sys.path from $MMTPU_REFERENCE, default
+/root/reference) and mmtpu side by side on IDENTICAL full-size synthetic
+data with:
+
+- ``--dataset mosi`` (default): 1284/229/686 utterances, vocab 3016x300,
+  audio 74, visual 47, seq 20;
+- ``--dataset pom``: 600/100/203 speakers, vocab 9206x300, audio/visual 43,
+  20-step aligned text + token rows at REAL length 1357
+  (pom_test_ids.npy geometry), 17 trait labels → per-trait
+  MAE/corr/mult_acc/F1 (losses.py:342-366);
+- ``--dataset iemocap``: MOSI-scale per-emotion split, 2-class one-hot
+  labels → argmax accuracy + weighted F1 (losses.py:317-340).
+
+Both sides consume:
 
 - identical normalized arrays, masks, SIF-init embeddings (built once by
   mmtpu's parity-mode pipeline, fed to both sides);
@@ -52,7 +63,6 @@ CONFIGS = [
 ]
 
 BASE = {
-    "dataset": "mosi",
     "unimodal": False,
     "lr": 1e-4,
     "word_loss_weight": 0.001,
@@ -83,16 +93,30 @@ def _import_reference():
     return ref_driver, ref_models, ref_losses, ref_sentiment, ref_utils
 
 
-def build_data(seed: int = 0, smoke: bool = False):
-    """Full-size synthetic MOSI, prepared once; both sides consume the same
+def build_data(dataset: str = "mosi", seed: int = 0, smoke: bool = False):
+    """Full-size synthetic data, prepared once; both sides consume the same
     normalized numpy arrays and the same SIF-init embeddings."""
     from mmtpu.data.pipeline import prepare_device_data
     from mmtpu.data.synthetic import synthesize_dataset
 
     if smoke:  # tiny shapes to validate the harness itself
         ds = synthesize_dataset(
-            "mosi", n_train=40, n_valid=12, n_test=20,
+            dataset, n_train=40, n_valid=12, n_test=20,
             vocab_size=64, embed_dim=16, audio_dim=6, visual_dim=5,
+            seed=seed, text_len=37 if dataset != "mosi" else 0,
+        )
+    elif dataset == "pom":
+        # real POM geometry: pom_test_ids.npy is (203, 1357), vocab 9206
+        # (SURVEY.md §2 row 3; scripts/bench_pom_fullscale.py)
+        ds = synthesize_dataset(
+            "pom", n_train=600, n_valid=100, n_test=203,
+            vocab_size=9206, embed_dim=300, audio_dim=43, visual_dim=43,
+            text_len=1357, seed=seed,
+        )
+    elif dataset == "iemocap":
+        ds = synthesize_dataset(
+            "iemocap", n_train=1284, n_valid=229, n_test=686,
+            vocab_size=3016, embed_dim=300, audio_dim=74, visual_dim=47,
             seed=seed,
         )
     else:
@@ -152,6 +176,20 @@ def _senti_to_jax(sm):
     }
 
 
+def _keep_metrics(results):
+    """Scalar + per-trait-list metric values (drop confusion matrices /
+    nested classification reports)."""
+    out = {}
+    for k, v in results.items():
+        if isinstance(v, (int, float)):
+            out[k] = v
+        elif (isinstance(v, list) and v
+              and all(isinstance(x, (int, float)) for x in v)
+              and k != "confusion_matrix"):
+            out[k] = [float(x) for x in v]
+    return out
+
+
 def run_reference(cfg, prep, gen_model, senti_model, n_epochs, senti_epochs,
                   ref):
     """The reference 3-phase pipeline, driven through its own functions with
@@ -162,6 +200,7 @@ def run_reference(cfg, prep, gen_model, senti_model, n_epochs, senti_epochs,
     ref_driver, ref_models, ref_losses, ref_sentiment, ref_utils = ref
     device = torch.device("cpu")
     we_t = torch.tensor(np.asarray(prep.vocab_embeddings))
+    is_mosi = prep.name == "mosi"
 
     def word_fn(latents, w, s, m):
         # the closure simplesif.py:529-537 binds (angular2, a=1e-3)
@@ -179,11 +218,29 @@ def run_reference(cfg, prep, gen_model, senti_model, n_epochs, senti_epochs,
             "covarep": torch.tensor(np.asarray(d["audio_mask"])),
             "facet": torch.tensor(np.asarray(d["visual_mask"])),
         }
-        data = ref_utils.MMData(
-            text, torch.tensor(np.asarray(d["audio"])),
-            torch.tensor(np.asarray(d["visual"])), masks,
-            torch.tensor(np.asarray(d["text_weights"])), device,
-        )
+        if is_mosi:
+            data = ref_utils.MMData(
+                text, torch.tensor(np.asarray(d["audio"])),
+                torch.tensor(np.asarray(d["visual"])), masks,
+                torch.tensor(np.asarray(d["text_weights"])), device,
+            )
+        else:
+            # POM/IEMOCAP: word-prob stream = gathered token rows; Gaussian
+            # text stream = 20-step ALIGNED embeddings (simplesif.py:332-344,
+            # MMDataExtra utils.py:235-251)
+            aligned = np.asarray(d["text_gauss"])
+            # NB must be NUMPY: MMDataExtra's ta_mask is only assigned inside
+            # `if not torch.is_tensor(masks['text_align'])` (utils.py:244-246)
+            # — passing a tensor hits an UnboundLocalError in the reference
+            masks["text_align"] = np.broadcast_to(
+                np.asarray(d["text_gauss_mask"])[:, :, None], aligned.shape
+            ).copy()
+            data = ref_utils.MMDataExtra(
+                text, torch.tensor(np.asarray(d["audio"])),
+                torch.tensor(np.asarray(d["visual"])), masks,
+                torch.tensor(np.asarray(d["text_weights"])),
+                torch.tensor(aligned), device,
+            )
         return DataLoader(data, batch_size=bsz, shuffle=False)
 
     args = dict(BASE, **cfg, n_epochs=n_epochs,
@@ -219,7 +276,9 @@ def run_reference(cfg, prep, gen_model, senti_model, n_epochs, senti_epochs,
     senti_model.eval()
     with torch.no_grad():
         pred = senti_model(test_embed).numpy()
-    metrics = ref_losses.full_loss(pred, np.asarray(prep.labels["test"]))
+    metric_fn = {"mosi": ref_losses.full_loss, "pom": ref_losses.pom_loss,
+                 "iemocap": ref_losses.iemocap_loss}[prep.name]
+    metrics = metric_fn(pred, np.asarray(prep.labels["test"]))
     senti_time = time.time() - t0
 
     return {
@@ -229,8 +288,7 @@ def run_reference(cfg, prep, gen_model, senti_model, n_epochs, senti_epochs,
             "valid": valid_embed.detach().numpy(),
             "test": test_embed.detach().numpy(),
         },
-        "metrics": {k: v for k, v in metrics.items()
-                    if isinstance(v, (int, float))},
+        "metrics": _keep_metrics(metrics),
         "fit_time_s": fit_time,
         "senti_time_s": senti_time,
     }
@@ -242,7 +300,7 @@ def run_mmtpu(cfg, prep, dec_jax, senti_jax, n_epochs, senti_epochs):
     import jax
     import jax.numpy as jnp
 
-    from mmtpu.eval.report import full_loss
+    from mmtpu.eval.report import full_loss, iemocap_loss, pom_loss
     from mmtpu.models.decoder import NORM_CODES
     from mmtpu.models.sentiment import apply_sentiment
     from mmtpu.train.latents import LatentFitSpec, fit_latents, train_view
@@ -292,14 +350,15 @@ def run_mmtpu(cfg, prep, dec_jax, senti_jax, n_epochs, senti_epochs):
         key, senti_jax, jnp.asarray(tr_e), jnp.asarray(prep.labels["train"]),
         jnp.asarray(va_e), jnp.asarray(prep.labels["valid"]), shp, sspec)
     pred = np.asarray(apply_sentiment(last, jnp.asarray(te_e)))
-    metrics = full_loss(pred, np.asarray(prep.labels["test"]), verbose=False)
+    metric_fn = {"mosi": full_loss, "pom": pom_loss,
+                 "iemocap": iemocap_loss}[prep.name]
+    metrics = metric_fn(pred, np.asarray(prep.labels["test"]), verbose=False)
     senti_time = time.time() - t0
 
     return {
         "final_train_loss": float(losses[-1]),
         "latents": {"train": tr_e, "valid": va_e, "test": te_e},
-        "metrics": {k: v for k, v in metrics.items()
-                    if isinstance(v, (int, float))},
+        "metrics": _keep_metrics(metrics),
         "fit_time_s": fit_time,
         "senti_time_s": senti_time,
     }
@@ -307,6 +366,8 @@ def run_mmtpu(cfg, prep, dec_jax, senti_jax, n_epochs, senti_epochs):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", choices=["mosi", "pom", "iemocap"],
+                   default="mosi")
     p.add_argument("--n_epochs", type=int, default=10)
     p.add_argument("--senti_epochs", type=int, default=400)
     p.add_argument("--configs", type=int, default=4)
@@ -316,8 +377,13 @@ def main(argv=None) -> int:
     p.add_argument("--only", help="comma-separated config indices to run")
     p.add_argument("--append", action="store_true",
                    help="append to an existing --out instead of overwriting")
-    p.add_argument("--out", default="PARITY_FULLSCALE.json")
+    p.add_argument("--out", default=None,
+                   help="default: PARITY_FULLSCALE.json (mosi) / "
+                        "PARITY_FULLSCALE_<dataset>.json")
     args = p.parse_args(argv)
+    if args.out is None:
+        args.out = ("PARITY_FULLSCALE.json" if args.dataset == "mosi"
+                    else f"PARITY_FULLSCALE_{args.dataset}.json")
 
     import jax
 
@@ -332,8 +398,11 @@ def main(argv=None) -> int:
     ref = _import_reference()
     import torch
 
-    ds, prep = build_data(args.seed, smoke=args.smoke)
+    BASE["dataset"] = args.dataset
+    ds, prep = build_data(args.dataset, args.seed, smoke=args.smoke)
     D, A, V = prep.embed_dim, prep.audio_dim, prep.visual_dim
+    labels = np.asarray(prep.labels["train"])
+    n_out = 1 if labels.ndim == 1 else labels.shape[-1]  # sentiment_model.py:181-185
 
     rows = []
     if args.append and os.path.isfile(args.out):
@@ -350,7 +419,7 @@ def main(argv=None) -> int:
         gen_model = _torch_decoder(cfg_full, 100 + ci, D, A, V, ref[1])
         torch.manual_seed(200 + ci)
         senti_model = ref[3].SentimentModel(
-            D, BASE["sentiment_hidden_size"], 1)
+            D, BASE["sentiment_hidden_size"], n_out)
         dec_jax = _decoder_to_jax(gen_model, D)
         senti_jax = _senti_to_jax(senti_model)
 
@@ -402,13 +471,20 @@ def main(argv=None) -> int:
                 "mmtpu_fit_time_s": round(got["fit_time_s"], 1),
             }
         rows.append(row)
-        json.dump({"rows": rows, "n_epochs": args.n_epochs,
+        json.dump({"dataset": args.dataset, "rows": rows,
+                   "n_epochs": args.n_epochs,
                    "senti_epochs": args.senti_epochs, "seed": args.seed},
                   open(args.out, "w"), indent=2)
 
-    # markdown table
-    print("\n| config | ref loss | mmtpu loss | max|Δlat| | ref MAE | mmtpu "
-          "MAE | ref corr | mmtpu corr | ref bin acc | mmtpu bin acc |")
+    # markdown table (per-trait POM lists collapse to their mean here; the
+    # full per-trait vectors live in the JSON)
+    def _scalar(m, key):
+        v = m.get(key, float("nan"))
+        return float(np.mean(v)) if isinstance(v, list) else float(v)
+
+    k3 = "accuracy" if args.dataset != "pom" else "f_score"
+    print(f"\n| config | ref loss | mmtpu loss | max|Δlat| | ref MAE | mmtpu "
+          f"MAE | ref corr | mmtpu corr | ref {k3} | mmtpu {k3} |")
     print("|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         c = r["config"]
@@ -422,12 +498,12 @@ def main(argv=None) -> int:
               f"| {r['ref_final_train_loss']:.4f} "
               f"| {r['mmtpu_final_train_loss']:.4f} "
               f"| {max(r['max_abs_latent_delta'].values()):.2e} "
-              f"| {rm.get('mae', float('nan')):.4f} "
-              f"| {gm.get('mae', float('nan')):.4f} "
-              f"| {rm.get('corr', float('nan')):.4f} "
-              f"| {gm.get('corr', float('nan')):.4f} "
-              f"| {rm.get('accuracy', float('nan')):.4f} "
-              f"| {gm.get('accuracy', float('nan')):.4f} |")
+              f"| {_scalar(rm, 'mae'):.4f} "
+              f"| {_scalar(gm, 'mae'):.4f} "
+              f"| {_scalar(rm, 'corr'):.4f} "
+              f"| {_scalar(gm, 'corr'):.4f} "
+              f"| {_scalar(rm, k3):.4f} "
+              f"| {_scalar(gm, k3):.4f} |")
     print(f"\n[parity] wrote {args.out}")
     return 0
 

@@ -14,6 +14,9 @@ jax.config.update("jax_platforms", "cpu")
 def main() -> None:
     pid, nproc = int(sys.argv[1]), int(sys.argv[2])
     port, out_path = sys.argv[3], sys.argv[4]
+    # optional: limit grid to N configs and strip explicit config_num
+    # (exercises the empty-shard + global-index-stamping paths)
+    limit = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
     from mmtpu.parallel.multihost import init_multihost, run_sweep_multihost
     from tests.test_sweep import _grid4, _tiny_prep
@@ -21,9 +24,13 @@ def main() -> None:
     init_multihost(f"localhost:{port}", num_processes=nproc, process_id=pid)
     assert jax.process_count() == nproc
 
-    res = run_sweep_multihost(
-        _grid4(), _tiny_prep(), batch_size=8, verbose=False
-    )
+    cfgs = _grid4()
+    if limit:
+        cfgs = cfgs[:limit]
+        for c in cfgs:
+            c.pop("config_num", None)
+
+    res = run_sweep_multihost(cfgs, _tiny_prep(), batch_size=8, verbose=False)
     json.dump(
         {
             "process": pid,

@@ -91,3 +91,15 @@ class TestAngularKernel:
         gx = jax.grad(lambda l: angular_partition(l, vocab).sum())(lat)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
         np.testing.assert_allclose(np.asarray(gk), np.asarray(gx), atol=1e-5)
+
+
+def test_default_partition_fn_threshold(monkeypatch):
+    """Shape-aware default: kernel only when effective rows amortize it."""
+    import mmtpu.kernels.angular as ang
+
+    monkeypatch.setattr(ang, "pallas_available", lambda: True)
+    assert ang.default_partition_fn(64) is None
+    assert ang.default_partition_fn(ang.MIN_PALLAS_ROWS) is ang.angular_partition_pallas
+    assert ang.default_partition_fn(2048) is ang.angular_partition_pallas
+    monkeypatch.setattr(ang, "pallas_available", lambda: False)
+    assert ang.default_partition_fn(4096) is None

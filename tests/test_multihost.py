@@ -75,6 +75,65 @@ def test_two_process_sweep_matches_single(tmp_path):
         )
 
 
+def test_two_process_sweep_empty_shard(tmp_path):
+    """1 config over 2 processes: process 1's shard is EMPTY; it must still
+    participate in the allgather (a crash here used to hang the whole job),
+    and config_num defaults to the GLOBAL grid index, not the local one."""
+    outs = [tmp_path / f"res_{p}.json" for p in range(2)]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(_REPO, "tests/_multihost_worker.py"),
+             str(p), "2", "19747", str(outs[p]), "1"],
+            env=env, cwd=_REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for p in range(2)
+    ]
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+    results = [json.load(open(o)) for o in outs]
+    for r in results:
+        assert r["config_nums"] == [0]
+        assert np.isfinite(r["final_train_loss"]).all()
+    np.testing.assert_array_equal(
+        results[0]["final_train_loss"], results[1]["final_train_loss"])
+
+
+def test_metric_schema_matches_metric_fns():
+    """empty_sweep_result's hardcoded schema must track the real metric fns
+    (keys AND trailing shapes) for every dataset."""
+    import jax.numpy as jnp
+
+    from mmtpu.eval.metrics import iemocap_metrics, mosi_metrics, pom_metrics
+    from mmtpu.sweep.runner import empty_sweep_result, metric_schema
+
+    class _P:
+        def __init__(self, name, labels):
+            self.name = name
+            self.labels = labels
+
+    cases = {
+        "mosi": (mosi_metrics, np.zeros((6,), np.float32)),
+        "pom": (pom_metrics, np.zeros((6, 17), np.float32)),
+        "iemocap": (iemocap_metrics, np.zeros((6, 2), np.float32)),
+    }
+    for name, (fn, y) in cases.items():
+        prep = _P(name, {"test": y})
+        got = fn(jnp.asarray(y) + 0.5, jnp.asarray(y))
+        schema = metric_schema(prep)
+        assert set(schema) == set(got), name
+        for k, s in schema.items():
+            assert np.shape(got[k]) == s, (name, k)
+        empty = empty_sweep_result(prep)
+        assert empty.n_configs == 0
+        for k, s in schema.items():
+            assert empty.metrics[k].shape == (0,) + s
+
+
 def test_init_multihost_no_coordinator_is_noop(monkeypatch):
     """Single-process runs (the CLI --multihost flag without a cluster) must
     not attempt jax.distributed.initialize auto-detection."""

@@ -240,3 +240,137 @@ def test_closed_form_server(tmp_path):
     bare = ClosedFormServer(dec, batch_sizes=(16,))
     with pytest.raises(ValueError, match="word_embeddings"):
         bare(req)
+
+
+def test_run_experiment_mesh_matches_single(tmp_path):
+    """--mesh wiring: ONE config spanning the 8-device CPU mesh (batch rows
+    sharded + vocab table sharded) must match the single-device run."""
+    from mmtpu.parallel import make_fit_mesh
+
+    cfg = ExperimentConfig(
+        dataset="mosi", n_epochs=2, n_sentiment_epochs=3, batch_size=8,
+        e2e=True, optimizer="sgd", lr=1e-4, config_name="smokemesh",
+    )
+    # vocab 64: divisible by the 2-wide vocab axis
+    ds = synthesize_dataset(
+        "mosi", n_train=32, n_valid=8, n_test=8, vocab_size=64,
+        embed_dim=16, audio_dim=6, visual_dim=5,
+    )
+    prep = prepare_device_data(ds, pos_embed_dim=0)
+    res_1 = run_experiment(cfg, out_root=str(tmp_path / "a"), prep=prep,
+                           verbose=False)
+    mesh = make_fit_mesh(4, 2)
+    res_m = run_experiment(cfg, out_root=str(tmp_path / "b"), prep=prep,
+                           verbose=False, mesh=mesh)
+    np.testing.assert_allclose(res_m["final_train_loss"],
+                               res_1["final_train_loss"], rtol=1e-4)
+    np.testing.assert_allclose(res_m["sentiment"]["after"]["mae"],
+                               res_1["sentiment"]["after"]["mae"], rtol=1e-3)
+
+    # non-e2e path routes through fit_latents_mesh
+    import dataclasses as dc
+
+    cfg2 = dc.replace(cfg, e2e=False)
+    res_1b = run_experiment(cfg2, out_root=str(tmp_path / "c"), prep=prep,
+                            verbose=False)
+    res_mb = run_experiment(cfg2, out_root=str(tmp_path / "d"), prep=prep,
+                            verbose=False, mesh=mesh)
+    np.testing.assert_allclose(res_mb["final_train_loss"],
+                               res_1b["final_train_loss"], rtol=1e-4)
+
+
+def test_run_experiment_mesh_resume_rejections(tmp_path):
+    from mmtpu.parallel import make_fit_mesh
+
+    cfg = ExperimentConfig(
+        dataset="mosi", n_epochs=2, n_sentiment_epochs=2, batch_size=8,
+        e2e=True, config_name="rej",
+    )
+    prep = _tiny_prep()
+    mesh = make_fit_mesh(4, 2)
+    with pytest.raises(ValueError, match="validation_curve"):
+        run_experiment(cfg, prep=prep, mesh=mesh, validation_curve=True,
+                       save_artifacts=False)
+    with pytest.raises(ValueError, match="non-e2e"):
+        run_experiment(cfg, prep=prep, resume_dir=str(tmp_path / "ck"),
+                       save_artifacts=False)
+    import dataclasses as dc
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_experiment(dc.replace(cfg, e2e=False), prep=prep, mesh=mesh,
+                       resume_dir=str(tmp_path / "ck"), save_artifacts=False)
+
+
+def test_cli_resume_dir(tmp_path, monkeypatch):
+    """--resume_dir smoke: run, then re-run with the same dir (restores the
+    finished fit) — both produce artifacts and a checkpoint manifest."""
+    from mmtpu import run as cli
+
+    cfg_path = tmp_path / "config_1.json"
+    json.dump(
+        {
+            "sentiment_hidden_size": 10, "lr": 1e-3, "sentiment_lr": 1e-2,
+            "seq_len": 20, "word_sim_metric": "angular", "n_epochs": 2,
+            "freeze_weights": False, "n_sentiment_epochs": 2,
+            "word_loss_weight": 0.001, "likelihood_weight": 0.0001,
+            "pos_embed_dim": 0, "e2e": False, "norm": "layer_norm",
+            "optimizer": "sgd", "config_num": 1,
+        },
+        open(cfg_path, "w"),
+    )
+    import mmtpu.data.registry as reg
+
+    orig = reg.synthesize_dataset
+    monkeypatch.setattr(
+        reg, "synthesize_dataset",
+        lambda name, seed=0: orig(
+            name, n_train=24, n_valid=8, n_test=10, vocab_size=50,
+            embed_dim=12, audio_dim=5, visual_dim=4, seed=seed,
+        ),
+    )
+    common = [
+        str(cfg_path), "mosi", "--data_dir", str(tmp_path / "nodata"),
+        "--out_root", str(tmp_path / "saves"), "--config_name", "resume_smoke",
+        "--batch_size", "8", "--resume_dir", str(tmp_path / "ckpt"),
+    ]
+    assert cli.main(common) == 0
+    assert (tmp_path / "ckpt" / "manifest.json").exists()
+    assert cli.main(common) == 0  # resumes (fit already complete)
+    assert (tmp_path / "saves" / "resume_smoke" / "config_1_run_0" / "post"
+            / "test_results_after.json").exists()
+
+
+def test_cli_mesh_flag(tmp_path, monkeypatch):
+    """--mesh CLI parsing: explicit sizes build the ('data','vocab') mesh."""
+    from mmtpu import run as cli
+
+    cfg_path = tmp_path / "config_2.json"
+    json.dump(
+        {
+            "sentiment_hidden_size": 10, "lr": 1e-3, "sentiment_lr": 1e-2,
+            "seq_len": 20, "word_sim_metric": "angular", "n_epochs": 1,
+            "freeze_weights": False, "n_sentiment_epochs": 2,
+            "word_loss_weight": 0.001, "likelihood_weight": 0.0001,
+            "pos_embed_dim": 0, "e2e": True, "norm": "layer_norm",
+            "optimizer": "sgd", "config_num": 2,
+        },
+        open(cfg_path, "w"),
+    )
+    import mmtpu.data.registry as reg
+
+    orig = reg.synthesize_dataset
+    monkeypatch.setattr(
+        reg, "synthesize_dataset",
+        lambda name, seed=0: orig(
+            name, n_train=16, n_valid=8, n_test=8, vocab_size=64,
+            embed_dim=12, audio_dim=5, visual_dim=4, seed=seed,
+        ),
+    )
+    rc = cli.main([
+        str(cfg_path), "mosi", "--data_dir", str(tmp_path / "nodata"),
+        "--out_root", str(tmp_path / "saves"), "--config_name", "mesh_smoke",
+        "--batch_size", "8", "--mesh", "data=4,vocab=2",
+    ])
+    assert rc == 0
+    assert (tmp_path / "saves" / "mesh_smoke" / "config_2_run_0" / "post"
+            / "test_results_after.json").exists()

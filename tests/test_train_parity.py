@@ -75,9 +75,12 @@ def _torch_gauss(mu, sigma, values, mask):
 
 
 def _run_torch_reference(d, unimodal, n_epochs, lr, batch_size, word_weight,
-                         optimizer_kind, torch_model, init_embed):
+                         optimizer_kind, torch_model, init_embed,
+                         word_fn=None):
     """Transliteration of optimize_latents (simplesif.py:49-162), train=True,
-    no shuffle, MOSI-style data (text_gauss == text)."""
+    no shuffle, MOSI-style data (text_gauss == text).  ``word_fn`` overrides
+    the word-likelihood (default: angular2)."""
+    word_fn = word_fn or _torch_word_logprob
     n = d["ids"].shape[0]
     vocab = torch.tensor(d["vocab"])
     se_all = vocab[torch.tensor(d["ids"], dtype=torch.long)]
@@ -120,7 +123,7 @@ def _run_torch_reference(d, unimodal, n_epochs, lr, batch_size, word_weight,
                 "textvisual": torch.cat([tm3, vm[j]], -1),
                 "textaudiovisual": torch.cat([tm3, am[j], vm[j]], -1),
             }
-            word_lp = _torch_word_logprob(
+            word_lp = word_fn(
                 embeddings[j], vocab, ww_all[j], se_all[j], tok_m[j]
             )
             lps = [
@@ -482,3 +485,88 @@ def test_static_kind_matches_branchless(rng, kind):
     for a, b in zip(jax.tree.leaves(dec_st), jax.tree.leaves(dec_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_fit_latents_dot_prod_matches_torch(rng):
+    """Trajectory parity for the dot_prod word metric — a torch
+    transliteration of the EVIDENTLY INTENDED semantics (losses.py:126-151,
+    get_word_log_prob_dot_prod2; the reference CLI's own dot_prod selection
+    is arity-broken at simplesif.py:508-509) through a short fit_latents run.
+
+    The reference L2-normalizes the vocabulary for dot_prod
+    (simplesif.py:292-293) — both sides consume the normalized table here.
+    """
+    d = _make_tiny(rng)
+    d["vocab"] /= np.linalg.norm(d["vocab"], axis=-1, keepdims=True)
+    n, D = d["init_embed"].shape
+    n_epochs, lr, bsz, wlw = 3, 1e-2, 5, 0.002
+
+    dims = {h: head_dims(h, D, d["audio"].shape[-1], d["visual"].shape[-1])
+            for h in MMB2_HEADS}
+    tm = TorchRefMMB(MMB2_HEADS, D, dims)
+    heads_jax = {}
+    for h in MMB2_HEADS:
+        heads_jax[h] = {
+            "w_mu": jnp.array(tm.mods[h]["mu"].weight.detach().numpy().T),
+            "b_mu": jnp.array(tm.mods[h]["mu"].bias.detach().numpy()),
+            "w_log_sigma": jnp.array(
+                tm.mods[h]["log_sigma"].weight.detach().numpy().T),
+            "b_log_sigma": jnp.array(
+                tm.mods[h]["log_sigma"].bias.detach().numpy()),
+        }
+    dec_params = {
+        "heads": heads_jax,
+        "norm": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
+    }
+
+    def torch_word_dotprod(latents, vocab, ww, se, mask2d, a=1e-3):
+        # losses.py:138-150 (dot_prod2): softmax-form Arora mixture
+        z = latents.matmul(vocab.transpose(0, 1)).exp().sum(-1, keepdim=True)
+        alpha = 1.0 / (z * a + 1.0)
+        unigram = alpha * ww
+        dot = torch.bmm(se, latents.unsqueeze(-1)).squeeze(-1)
+        context = (1.0 - alpha) * dot.exp() / z
+        return (torch.log(unigram + context) * mask2d).sum(dim=-1)
+
+    # torch reference loop with the word fn swapped (optimize_latents
+    # structure is metric-independent, simplesif.py:49-162)
+    want_embed, want_losses = _run_torch_reference(
+        d, False, n_epochs, lr, bsz, wlw, "sgd", tm, d["init_embed"],
+        word_fn=torch_word_dotprod,
+    )
+
+    ids = jnp.asarray(d["ids"])
+    vocab = jnp.asarray(d["vocab"])
+    text = vocab[ids]
+    data = {
+        "text": text,
+        "text_weights": jnp.asarray(d["vw"])[ids],
+        "text_mask": jnp.asarray(d["token_mask"]),
+        "text_gauss": text,
+        "text_gauss_mask": jnp.asarray(d["token_mask"]),
+        "audio": jnp.asarray(d["audio"]),
+        "audio_mask": jnp.asarray(d["audio_mask"]),
+        "visual": jnp.asarray(d["visual"]),
+        "visual_mask": jnp.asarray(d["visual_mask"]),
+    }
+    hp = {
+        "lr": jnp.float32(lr),
+        "word_loss_weight": jnp.float32(wlw),
+        "opt_code": jnp.int32(OPT_CODES["sgd"]),
+        "norm_code": jnp.int32(NORM_CODES[None]),
+        "n_epochs": jnp.int32(n_epochs),
+    }
+    spec = LatentFitSpec(
+        n_epochs_max=n_epochs, batch_size=bsz, train_decoder=True,
+        unimodal=False, shuffle=False, word_metric="dot_prod",
+    )
+    got_embed, _, got_losses = jax.jit(
+        lambda r, e, p: fit_latents(r, e, p, data, vocab, hp, spec)
+    )(jax.random.key(0), jnp.asarray(d["init_embed"]), dec_params)
+
+    np.testing.assert_allclose(
+        np.asarray(got_losses), np.asarray(want_losses), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_embed), want_embed, rtol=0, atol=2e-4
+    )
