@@ -206,6 +206,12 @@ def main() -> None:
         "single_dispatch_utt_per_s": round(n_train * n_epochs / dt_single, 1),
     }
 
+    if jax.default_backend() == "tpu":
+        # on-TPU Pallas equivalence gate (VERDICT r2 §5): the MOSAIC-compiled
+        # kernel (not interpret mode) must match the XLA path fwd+VJP at
+        # production shape — kernel drift cannot ship silently
+        record.update(_pallas_gate(vocab))
+
     if os.environ.get("MMTPU_BENCH_SWEEP", "1") != "0":
         try:
             record.update(_sweep_rate(file=sys.stderr))
@@ -213,6 +219,34 @@ def main() -> None:
             print(f"[bench] sweep section failed: {e}", file=sys.stderr)
 
     print(json.dumps(record))
+
+
+def _pallas_gate(vocab) -> dict:
+    """Assert Mosaic-kernel == XLA numerics on-device at the sweep's
+    production shape (2048 rows = 32 configs x batch 64, full MOSI vocab)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmtpu.kernels.angular import angular_partition_pallas
+    from mmtpu.ops.wordprob import angular_partition
+
+    lat = jax.random.normal(jax.random.key(7), (2048, vocab.shape[1]),
+                            jnp.float32)
+    f_x = jax.jit(jax.value_and_grad(
+        lambda l: jnp.sum(angular_partition(l, vocab))))
+    f_p = jax.jit(jax.value_and_grad(
+        lambda l: jnp.sum(angular_partition_pallas(l, vocab))))
+    vx, gx = f_x(lat)
+    vp, gp = f_p(lat)
+    fwd_rel = abs(float(vx) - float(vp)) / max(abs(float(vx)), 1e-12)
+    grad_rel = float(jnp.max(jnp.abs(gx - gp))
+                     / jnp.maximum(jnp.max(jnp.abs(gx)), 1e-12))
+    print(f"[bench] pallas gate: fwd rel-err={fwd_rel:.2e} "
+          f"grad max-rel={grad_rel:.2e}", file=sys.stderr, flush=True)
+    assert fwd_rel < 1e-5, f"Pallas fwd drift: {fwd_rel}"
+    assert grad_rel < 1e-3, f"Pallas VJP drift: {grad_rel}"
+    return {"pallas_fwd_rel_err": round(fwd_rel, 10),
+            "pallas_grad_max_rel": round(grad_rel, 10)}
 
 
 def _sweep_rate(file=sys.stderr) -> dict:

@@ -168,4 +168,5 @@ def run_sweep_multihost(
         wall_time_s=local.wall_time_s,
         n_configs=k_global,
         compile_time_s=local.compile_time_s,
+        chunk_stats=local.chunk_stats,  # this process's chunks only
     )

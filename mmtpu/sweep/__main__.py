@@ -184,8 +184,14 @@ def main(argv=None) -> int:
         "n_configs": res.n_configs,
         "wall_time_s": round(res.wall_time_s, 2),
         "compile_time_s": round(res.compile_time_s, 2),
+        # exec time is the relay-stable signal — the same cached programs
+        # load in 54-344 s depending on the relay instance (BASELINE.md)
+        "exec_time_s": round(res.exec_time_s, 2),
         "configs_per_hour": round(res.n_configs / res.wall_time_s * 3600, 1),
+        "configs_per_hour_exec": round(
+            res.n_configs / max(res.exec_time_s, 1e-9) * 3600, 1),
         "dataset": args.dataset,
+        "chunks": res.chunk_stats or [],
     }
     json.dump(summary, open(os.path.join(args.out, f"{args.name}_summary.json"), "w"),
               indent=2)

@@ -43,6 +43,15 @@ class SweepResult:
     wall_time_s: float
     n_configs: int
     compile_time_s: float = 0.0
+    # per-chunk completion records ({chunk, kind, n_epochs, configs, done_at_s}
+    # relative to sweep start) — the exec-vs-compile split and per-bucket
+    # timings relay instances make incomparable otherwise (BASELINE.md)
+    chunk_stats: Optional[List[dict]] = None
+
+    @property
+    def exec_time_s(self) -> float:
+        """Wall minus compile — the relay-stable signal (CLAUDE.md)."""
+        return max(self.wall_time_s - self.compile_time_s, 0.0)
 
     def to_records(self) -> List[dict]:
         out = []
@@ -471,6 +480,7 @@ def run_sweep(
     # already executing on the device — the host never sits between the
     # device and the next dispatch.
     pending = None  # (positions, out, chunk_id, wi, kind)
+    chunk_stats: List[dict] = []
 
     def drain(p):
         positions, out, chunk_id, wi, kind = p
@@ -501,6 +511,10 @@ def run_sweep(
                 open(tmp, "w"),
             )
             _os.replace(tmp, state_path)
+        chunk_stats.append({
+            "chunk": chunk_id, "kind": kind, "configs": len(positions),
+            "done_at_s": round(time.time() - t0, 2),
+        })
         if verbose:
             print(f"[sweep] chunk {wi + 1}/{n_chunks} [{kind}] done "
                   f"({len(positions)} configs, {time.time() - t0:.1f}s)")
@@ -683,4 +697,5 @@ def run_sweep(
         wall_time_s=time.time() - t0,
         n_configs=k_total,
         compile_time_s=compile_time,
+        chunk_stats=chunk_stats,
     )

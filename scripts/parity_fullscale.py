@@ -374,6 +374,10 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--smoke", action="store_true",
                    help="tiny shapes — validates the harness, not parity")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the mmtpu side onto the CPU backend (e.g. "
+                        "when the TPU relay is down; accuracy parity is "
+                        "backend-independent at --precision highest)")
     p.add_argument("--only", help="comma-separated config indices to run")
     p.add_argument("--append", action="store_true",
                    help="append to an existing --out instead of overwriting")
@@ -387,6 +391,10 @@ def main(argv=None) -> int:
 
     import jax
 
+    if args.cpu:
+        # must run before any backend init; the axon sitecustomize ignores
+        # JAX_PLATFORMS (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
     try:
         from mmtpu.utils.cache import enable_compilation_cache

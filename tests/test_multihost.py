@@ -30,6 +30,7 @@ def test_shard_configs_partition():
     assert sorted(seen) == list(range(len(cfgs)))
 
 
+@pytest.mark.slow
 def test_two_process_sweep_matches_single(tmp_path):
     """Spawn a 2-process CPU cluster; every process must return the full,
     identically-ordered grid, equal to the single-process sweep."""
@@ -75,6 +76,7 @@ def test_two_process_sweep_matches_single(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_two_process_sweep_empty_shard(tmp_path):
     """1 config over 2 processes: process 1's shard is EMPTY; it must still
     participate in the allgather (a crash here used to hang the whole job),
