@@ -128,6 +128,17 @@ def run_sweep_multihost(
         # allgather below — the other processes block on this one
         local = empty_sweep_result(prep)
 
+    # Shard skew is unbounded (uneven shards, cold compiles), but the Gloo
+    # collective below has a bounded timeout — so rendezvous first on the
+    # coordination service, whose barrier timeout we control.  Without this,
+    # a fast (e.g. empty-shard) process times out in process_allgather while
+    # a slow peer is still compiling its sweep programs.
+    from jax._src import distributed as _dist
+
+    client = getattr(_dist.global_state, "client", None)
+    if client is not None and P > 1:
+        client.wait_at_barrier("mmtpu_sweep_gather", 4 * 3600 * 1000)
+
     # global expanded order is config-major, run-minor (run_sweep's n_runs
     # expansion); local row (j, r) lands at global (cfg_idx[j]*n_runs + r)
     k_global = len(configs) * n_runs

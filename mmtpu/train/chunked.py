@@ -120,4 +120,8 @@ def fit_latents_checkpointed(
                 extra={"n_epochs_max": n_total, "fingerprint": fingerprint},
             )
     embed, dec = carry[0], carry[1]
+    # carry travels stacked (init_fit_carry); restore the per-head pytree
+    from mmtpu.train.latents import finish_fit_decoder
+
+    dec = finish_fit_decoder(dec, data, spec, was_stacked=False)
     return embed, dec, jnp.asarray(losses)

@@ -46,6 +46,8 @@ class E2EFitSpec:
     # mesh axis name to shard each minibatch's rows across (GSPMD; see
     # mmtpu/parallel/fit.py) — None = single-device
     batch_shard_axis: str | None = None
+    # stacked decoder layout (one wide GEMM per step — see LatentFitSpec)
+    stacked_heads: bool = True
 
     def latent_spec(self) -> LatentFitSpec:
         return LatentFitSpec(
@@ -60,6 +62,7 @@ class E2EFitSpec:
             unroll=self.unroll,
             opt_kind=self.opt_kind,
             batch_shard_axis=self.batch_shard_axis,
+            stacked_heads=self.stacked_heads,
         )
 
 
@@ -98,6 +101,12 @@ def fit_e2e(
     bsz = spec.batch_size
     n_batches = -(-n // bsz)
     pad = n_batches * bsz - n
+
+    from mmtpu.models.decoder import is_stacked, stack_decoder
+
+    was_stacked = is_stacked(decoder_params)
+    if spec.stacked_heads and not was_stacked:
+        decoder_params, _ = stack_decoder(decoder_params)
 
     embed = jnp.asarray(init_embed, jnp.float32)
     e_opt = init_opt_state(embed, spec.opt_kind)
@@ -161,22 +170,13 @@ def fit_e2e(
                 lat = embed_arg if perm_path else embed_arg[j]
                 if csh is not None:
                     lat = csh(lat)
-                # per-sample -log p (reuse the latent-fit loss but per-sample):
-                # batch_neg_log_prob reduces; recompute per-sample pieces here.
-                from mmtpu.models.decoder import apply_decoder
-                from mmtpu.train.latents import _head_log_prob, _word_logprob
-                from mmtpu.models.decoder import MMB1_HEADS, MMB2_HEADS
+                # per-sample -(weighted joint log p), shared with the latent
+                # fit (handles both decoder layouts)
+                from mmtpu.train.latents import joint_neg_log_prob_per_sample
 
-                out = apply_decoder(dec_p, lat, hp["norm_code"], row_valid)
-                word_lp = _word_logprob(lspec, lat, vocab_emb, b)
-                heads = MMB1_HEADS if spec.unimodal else MMB2_HEADS
-                head_lp = [
-                    _head_log_prob(h2, out[h2]["mu"], out[h2]["sigma"], b)
-                    for h2 in heads
-                ]
-                w = hp["word_loss_weight"]
-                other = (1.0 - w) / len(head_lp)
-                log_prob = -(sum(head_lp) * other + w * word_lp)  # (B,)
+                log_prob = joint_neg_log_prob_per_sample(
+                    dec_p, lat, b, vocab_emb, hp, lspec, row_valid
+                )  # (B,)
 
                 pred = apply_sentiment(sen_p, lat)
                 err = jnp.abs(pred - y)
@@ -268,16 +268,20 @@ def fit_e2e(
         )
         return (embed, dec, sen, e_opt, d_opt, s_opt, key), (epoch_loss, v_loss)
 
+    from mmtpu.train.latents import finish_fit_decoder
+
     carry0 = (embed, decoder_params, senti_params, e_opt, d_opt, s_opt, rng)
     if inner_spec is None:
         (embed, dec, sen, _, _, _, _), losses = jax.lax.scan(
             epoch_body, carry0, jnp.arange(spec.n_epochs_max)
         )
-        return embed, dec, sen, losses
+        return (embed, finish_fit_decoder(dec, data, lspec, was_stacked),
+                sen, losses)
 
     (embed, dec, sen, _, _, _, key), (losses, valid_losses) = jax.lax.scan(
         epoch_body, carry0, jnp.arange(spec.n_epochs_max)
     )
     fv = valid_fit_loss(key, validation, dec, vocab_emb, hp, inner_spec)
     valid_losses = jnp.concatenate([valid_losses, fv[None]])
-    return embed, dec, sen, losses, valid_losses
+    return (embed, finish_fit_decoder(dec, data, lspec, was_stacked),
+            sen, losses, valid_losses)

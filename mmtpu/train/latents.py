@@ -57,7 +57,11 @@ from mmtpu.models.decoder import (
     MMB1_HEADS,
     MMB2_HEADS,
     apply_decoder,
+    apply_decoder_stacked,
     head_segments,
+    is_stacked,
+    stack_decoder,
+    unstack_decoder,
 )
 from mmtpu.ops.joint import joint_log_prob  # noqa: F401  (re-export convenience)
 from mmtpu.ops.gaussian import gaussian_logpdf_masked
@@ -98,6 +102,11 @@ class LatentFitSpec:
     # reduction is over the logically-global batch axis).  Requires calling
     # under a mesh context (see mmtpu.parallel.fit.fit_latents_mesh).
     batch_shard_axis: str | None = None
+    # Stacked decoder layout: concatenate the per-head linears ONCE at fit
+    # entry (models.decoder.stack_decoder) so every step runs one wide GEMM
+    # and the decoder optimizer touches 4 leaves instead of 4·n_heads.
+    # Same math per output element; the per-head pytree is restored on return.
+    stacked_heads: bool = True
 
 
 def _word_logprob(spec: LatentFitSpec, latents, vocab_emb, b):
@@ -119,6 +128,44 @@ def _word_logprob(spec: LatentFitSpec, latents, vocab_emb, b):
     raise NotImplementedError(spec.word_metric)
 
 
+def _head_parts(head: str, b) -> list:
+    """The (statically shaped) data parts a head's Gaussian factors over —
+    the base-stream segments (plus shared-table positional blocks), in the
+    head's mu/sigma column order."""
+    use_stats = "audio_s0" in b
+    parts = []
+    for seg in head_segments(head):
+        if use_stats:
+            if seg == "text":
+                parts.append(("stats", b["text_gauss_s0"], b["text_gauss_s1"],
+                              b["text_gauss_s2"]))
+            else:
+                parts.append(("stats", b[f"{seg}_s0"], b[f"{seg}_s1"],
+                              b[f"{seg}_s2"]))
+                if "pos_s0" in b:
+                    pm = b["pos_mask"]
+                    parts.append(("stats", b["pos_s0"] * pm, b["pos_s1"] * pm,
+                                  b["pos_s2"] * pm))
+        else:
+            if seg == "text":
+                parts.append(("raw", b["text_gauss"], b["text_gauss_mask"]))
+            elif seg == "audio":
+                parts.append(("raw", b["audio"], b["audio_mask"]))
+                if "pos_table" in b:
+                    parts.append(("raw", b["pos_table"], b["pos_mask"]))
+            else:  # visual
+                parts.append(("raw", b["visual"], b["visual_mask"]))
+                if "pos_table" in b:
+                    parts.append(("raw", b["pos_table"], b["pos_mask"]))
+    return parts
+
+
+def head_width(head: str, b) -> int:
+    """Static mu/sigma column count of a head for this data dict (== the
+    decoder head's output feature dim, incl. any positional channels)."""
+    return sum(int(p[1].shape[-1]) for p in _head_parts(head, b))
+
+
 def _head_log_prob(head: str, mu, sigma, b) -> jax.Array:
     """Masked Gaussian log-prob of one head, summed over its segments.
 
@@ -131,45 +178,64 @@ def _head_log_prob(head: str, mu, sigma, b) -> jax.Array:
     sequence axis from the computation entirely — mathematically exact, a
     ~seq_len-fold VPU/bandwidth reduction (docs/DESIGN.md).
     """
-    use_stats = "audio_s0" in b
     total = 0.0
     ofs = 0
-    for seg in head_segments(head):
-        if use_stats:
-            if seg == "text":
-                parts = [("stats", b["text_gauss_s0"], b["text_gauss_s1"],
-                          b["text_gauss_s2"])]
-            else:
-                parts = [("stats", b[f"{seg}_s0"], b[f"{seg}_s1"], b[f"{seg}_s2"])]
-                if "pos_s0" in b:
-                    pm = b["pos_mask"]
-                    parts.append(("stats", b["pos_s0"] * pm, b["pos_s1"] * pm,
-                                  b["pos_s2"] * pm))
-        else:
-            if seg == "text":
-                parts = [("raw", b["text_gauss"], b["text_gauss_mask"])]
-            elif seg == "audio":
-                parts = [("raw", b["audio"], b["audio_mask"])]
-                if "pos_table" in b:
-                    parts.append(("raw", b["pos_table"], b["pos_mask"]))
-            else:  # visual
-                parts = [("raw", b["visual"], b["visual_mask"])]
-                if "pos_table" in b:
-                    parts.append(("raw", b["pos_table"], b["pos_mask"]))
-        for part in parts:
-            f = part[1].shape[-1]
-            mu_s = mu[:, ofs : ofs + f]
-            sig_s = sigma[:, ofs : ofs + f]
-            if part[0] == "stats":
-                from mmtpu.ops.gaussian import gaussian_logpdf_suffstats
+    for part in _head_parts(head, b):
+        f = part[1].shape[-1]
+        mu_s = mu[:, ofs : ofs + f]
+        sig_s = sigma[:, ofs : ofs + f]
+        if part[0] == "stats":
+            from mmtpu.ops.gaussian import gaussian_logpdf_suffstats
 
-                total = total + gaussian_logpdf_suffstats(
-                    mu_s, sig_s, part[1], part[2], part[3]
-                )
-            else:
-                total = total + gaussian_logpdf_masked(mu_s, sig_s, part[1], part[2])
-            ofs += f
+            total = total + gaussian_logpdf_suffstats(
+                mu_s, sig_s, part[1], part[2], part[3]
+            )
+        else:
+            total = total + gaussian_logpdf_masked(mu_s, sig_s, part[1], part[2])
+        ofs += f
     return total
+
+
+def joint_neg_log_prob_per_sample(
+    decoder_params,
+    lat: jax.Array,
+    b: Mapping[str, jax.Array],
+    vocab_emb: jax.Array,
+    hp: Mapping[str, jax.Array],
+    spec: LatentFitSpec,
+    row_valid: jax.Array | None = None,
+) -> jax.Array:
+    """Per-sample negative weighted joint log-likelihood ``(B,)``
+    (losses.py:216-274) — shared by the latent fit and the e2e joint loss.
+
+    Supports both decoder layouts: per-head pytrees and the stacked layout
+    (one wide GEMM, mu/sigma sliced at the static per-head offsets — see
+    ``mmtpu.models.decoder.stack_decoder``).
+    """
+    word_lp = _word_logprob(spec, lat, vocab_emb, b)
+    heads = MMB1_HEADS if spec.unimodal else MMB2_HEADS
+    if is_stacked(decoder_params):
+        mu_all, sigma_all = apply_decoder_stacked(
+            decoder_params, lat, hp["norm_code"], batch_weights=row_valid,
+        )
+        head_lp = []
+        ofs = 0
+        for h in heads:
+            f = head_width(h, b)
+            head_lp.append(_head_log_prob(
+                h, mu_all[:, ofs:ofs + f], sigma_all[:, ofs:ofs + f], b))
+            ofs += f
+        assert ofs == mu_all.shape[-1], (ofs, mu_all.shape)
+    else:
+        out = apply_decoder(
+            decoder_params, lat, hp["norm_code"], batch_weights=row_valid,
+        )
+        head_lp = [
+            _head_log_prob(h, out[h]["mu"], out[h]["sigma"], b) for h in heads
+        ]
+    w = hp["word_loss_weight"]
+    other = (1.0 - w) / len(head_lp)
+    return -(sum(head_lp) * other + w * word_lp)  # losses.py:267-270
 
 
 def batch_neg_log_prob(
@@ -200,19 +266,9 @@ def batch_neg_log_prob(
                 and v.shape[0] == bsz else v)
             for k, v in b.items()
         }
-    out = apply_decoder(
-        decoder_params, embed_batch, hp["norm_code"], batch_weights=row_valid
+    neg = joint_neg_log_prob_per_sample(
+        decoder_params, embed_batch, b, vocab_emb, hp, spec, row_valid
     )
-    word_lp = _word_logprob(spec, embed_batch, vocab_emb, b)
-    heads = MMB1_HEADS if spec.unimodal else MMB2_HEADS
-    head_lp = [
-        _head_log_prob(h, out[h]["mu"], out[h]["sigma"], b) for h in heads
-    ]
-    gauss_total = sum(head_lp)
-    w = hp["word_loss_weight"]
-    other = (1.0 - w) / len(head_lp)
-    total_lp = gauss_total * other + w * word_lp  # losses.py:267-270
-    neg = -total_lp
     if row_valid is None:
         return jnp.mean(neg)
     return jnp.sum(neg * row_valid) / jnp.maximum(jnp.sum(row_valid), 1.0)
@@ -278,6 +334,7 @@ def fit_latents(
     if validation is not None and spec.valid_every > 0:
         inner_spec = make_inner_valid_spec(spec, spec.valid_batch_mult)
 
+    was_stacked = is_stacked(decoder_params)
     carry0 = init_fit_carry(rng, init_embed, decoder_params, spec)
     epoch_body = _make_epoch_body(
         data, vocab_emb, hp, spec, init_embed.shape[0], validation, inner_spec
@@ -286,7 +343,7 @@ def fit_latents(
         (embed, dec, _, _, _), losses = jax.lax.scan(
             epoch_body, carry0, jnp.arange(spec.n_epochs_max)
         )
-        return embed, dec, losses
+        return embed, finish_fit_decoder(dec, data, spec, was_stacked), losses
 
     (embed, dec, _, _, key), (losses, valid_losses) = jax.lax.scan(
         epoch_body, carry0, jnp.arange(spec.n_epochs_max)
@@ -294,7 +351,8 @@ def fit_latents(
     # final validation (simplesif.py:153-159)
     fv = valid_fit_loss(key, validation, dec, vocab_emb, hp, inner_spec)
     valid_losses = jnp.concatenate([valid_losses, fv[None]])
-    return embed, dec, losses, valid_losses
+    return (embed, finish_fit_decoder(dec, data, spec, was_stacked),
+            losses, valid_losses)
 
 
 def make_inner_valid_spec(spec, valid_batch_mult: int) -> "LatentFitSpec":
@@ -325,9 +383,14 @@ def valid_fit_loss(key, validation, dec, vocab_emb, hp, inner_spec):
 def init_fit_carry(rng, init_embed, decoder_params, spec: LatentFitSpec):
     """The scan carry of a latent fit: ``(embed, decoder, embed_opt_state,
     dec_opt_state, rng)``.  Exposed so host-side epoch-chunked fits
-    (``mmtpu.train.chunked``) can checkpoint/restore mid-run."""
+    (``mmtpu.train.chunked``) can checkpoint/restore mid-run.
+
+    With ``spec.stacked_heads`` the decoder travels in the stacked layout
+    (restored to the per-head pytree by :func:`finish_fit_decoder`)."""
     from mmtpu.train.optim import init_opt_state
 
+    if spec.stacked_heads and not is_stacked(decoder_params):
+        decoder_params, _ = stack_decoder(decoder_params)
     embed = jnp.asarray(init_embed, jnp.float32)
     embed_opt = init_opt_state(embed, spec.opt_kind)
     dec_opt = (
@@ -335,6 +398,15 @@ def init_fit_carry(rng, init_embed, decoder_params, spec: LatentFitSpec):
         if spec.train_decoder else None
     )
     return (embed, decoder_params, embed_opt, dec_opt, rng)
+
+
+def finish_fit_decoder(dec, data, spec: LatentFitSpec, was_stacked: bool):
+    """Restore the per-head decoder pytree after a fit whose carry used the
+    stacked layout (no-op when the caller already passed stacked params)."""
+    if not (spec.stacked_heads and is_stacked(dec)) or was_stacked:
+        return dec
+    heads = MMB1_HEADS if spec.unimodal else MMB2_HEADS
+    return unstack_decoder(dec, [(h, head_width(h, data)) for h in heads])
 
 
 def fit_latents_segment(

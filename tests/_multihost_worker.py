@@ -2,7 +2,9 @@
 multi-process CPU cluster running its shard of the sweep."""
 
 import json
+import os
 import sys
+import time
 
 import jax
 
@@ -29,6 +31,12 @@ def main() -> None:
         cfgs = cfgs[:limit]
         for c in cfgs:
             c.pop("config_num", None)
+
+    # optional per-process artificial skew (seconds), e.g. "30,0" delays
+    # process 0 by 30 s — exercises the pre-gather rendezvous barrier
+    skew = os.environ.get("MMTPU_TEST_SWEEP_SKEW_S", "")
+    if skew:
+        time.sleep(float(skew.split(",")[pid]))
 
     res = run_sweep_multihost(cfgs, _tiny_prep(), batch_size=8, verbose=False)
     json.dump(

@@ -177,3 +177,8 @@ def test_cli_multihost_single_process(tmp_path, monkeypatch):
     assert rc == 0
     summary = json.load(open(tmp_path / "results" / "mh1_summary.json"))
     assert summary["n_configs"] == 2
+    # artifact hygiene: exec-vs-compile split + per-chunk stats recorded
+    assert summary["exec_time_s"] >= 0
+    assert summary["wall_time_s"] >= summary["exec_time_s"]
+    assert isinstance(summary["chunks"], list) and summary["chunks"]
+    assert {"chunk", "kind", "configs", "done_at_s"} <= set(summary["chunks"][0])
