@@ -46,8 +46,9 @@ class E2EFitSpec:
     # mesh axis name to shard each minibatch's rows across (GSPMD; see
     # mmtpu/parallel/fit.py) — None = single-device
     batch_shard_axis: str | None = None
-    # stacked decoder layout (one wide GEMM per step — see LatentFitSpec)
-    stacked_heads: bool = True
+    # stacked decoder layout (one wide GEMM per step — see LatentFitSpec;
+    # default off: measured slower on the sweep, scripts/diag_stacked.py)
+    stacked_heads: bool = False
 
     def latent_spec(self) -> LatentFitSpec:
         return LatentFitSpec(

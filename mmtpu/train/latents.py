@@ -106,7 +106,12 @@ class LatentFitSpec:
     # entry (models.decoder.stack_decoder) so every step runs one wide GEMM
     # and the decoder optimizer touches 4 leaves instead of 4·n_heads.
     # Same math per output element; the per-head pytree is restored on return.
-    stacked_heads: bool = True
+    # DEFAULT OFF — measured 2.6–3.6% SLOWER than the per-head path on the
+    # production sweep (scripts/diag_stacked.py, chunk 16 and 32, on-chip;
+    # docs/DESIGN.md "measured negatives"): under the config-vmapped sweep
+    # XLA already batches the head GEMMs, and stacking forces a full-width
+    # mu/sigma materialization that defeats per-head fusion.
+    stacked_heads: bool = False
 
 
 def _word_logprob(spec: LatentFitSpec, latents, vocab_emb, b):
