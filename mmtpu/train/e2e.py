@@ -210,6 +210,8 @@ def fit_e2e(
                 e_opt2 = e_opt
             else:
                 if perm_path:  # adam in permuted space: contiguous dense grad
+                    # (implicit-zero sliced variant measured slower on-chip —
+                    # see mmtpu/train/latents.py + docs/DESIGN.md)
                     ge = jax.lax.dynamic_update_slice_in_dim(
                         jnp.zeros_like(embed), ge, start, 0
                     )

@@ -542,6 +542,9 @@ def _make_epoch_body(data, vocab_emb, hp, spec: LatentFitSpec, n,
                 e_opt2 = e_opt
             else:
                 if perm_path:  # adam in permuted space: contiguous dense grad
+                    # (an implicit-zero 4-pass variant — decay-only dense pass
+                    # + slice update-slices — measured 22% SLOWER on-chip;
+                    # docs/DESIGN.md "measured negatives")
                     g_embed = jax.lax.dynamic_update_slice_in_dim(
                         jnp.zeros_like(embed), g_embed, start, 0
                     )

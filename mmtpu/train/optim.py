@@ -130,3 +130,4 @@ def opt_update(
     new_v = jax.tree.map(lambda t: t[2], out, is_leaf=lambda t: isinstance(t, tuple))
     new_count = jnp.where(act, count, state.count)
     return new_params, OptState(m=new_m, v=new_v, count=new_count)
+

@@ -588,3 +588,4 @@ def test_fit_latents_dot_prod_matches_torch(rng):
     np.testing.assert_allclose(
         np.asarray(got_embed), want_embed, rtol=0, atol=2e-4
     )
+
