@@ -52,6 +52,11 @@ def main(argv=None) -> int:
                              "on (default: auto — on for TPU backends)")
     parser.add_argument("--no_pallas", action="store_true",
                         help="force the fused kernel off")
+    parser.add_argument("--exact_adam", action="store_true",
+                        help="torch-exact dense Adam instead of the "
+                             "epoch-level lazy-Adam fast path (float-"
+                             "rounding-level trajectory deltas; see "
+                             "mmtpu/train/optim.py)")
     parser.add_argument("--top_k_artifacts", type=int, default=0,
                         help="after the sweep, re-run the top-K configs "
                              "through the full runner to persist reference-"
@@ -149,6 +154,7 @@ def main(argv=None) -> int:
         use_pallas=(False if args.no_pallas else (args.pallas or None)),
         senti_mask=mask,
         validation_curve=args.validation_curve,
+        lazy_adam=False if args.exact_adam else None,
     )
     if args.multihost:
         from mmtpu.parallel.multihost import run_sweep_multihost

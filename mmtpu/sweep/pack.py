@@ -53,6 +53,11 @@ class SweepStatics:
     # static optimizer kind for a homogeneous bucket (None = branchless mix)
     opt_kind: str | None = None
     use_pallas: bool = False  # fused Pallas angular-partition kernel
+    # epoch-level lazy Adam for the latent tables (train/optim.py) — the
+    # sweep's bf16 fast path; run_sweep defaults it ON (float-rounding-level
+    # trajectory deltas, same envelope the bf16 matmul default already
+    # accepts — PRECISION_STUDY.json); --exact_adam restores dense Adam
+    lazy_adam: bool = False
     # recursive validation curves during training (reference cadence 80 —
     # simplesif.py:146-159, 795-799); expensive, opt-in
     validation_curve: bool = False

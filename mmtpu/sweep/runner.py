@@ -141,6 +141,7 @@ def build_sweep_fn(statics: SweepStatics, labels, vocab, dataset_name: str,
         opt_kind=statics.opt_kind,
         partition_fn=partition_fn,
         valid_every=valid_every,
+        lazy_adam=statics.lazy_adam,
     )
     espec = E2EFitSpec(
         n_epochs_max=statics.n_epochs_max,
@@ -151,6 +152,7 @@ def build_sweep_fn(statics: SweepStatics, labels, vocab, dataset_name: str,
         opt_kind=statics.opt_kind,
         partition_fn=partition_fn,
         valid_every=valid_every,
+        lazy_adam=statics.lazy_adam,
     )
     ispec = LatentFitSpec(
         n_epochs_max=statics.n_epochs_max,
@@ -162,6 +164,7 @@ def build_sweep_fn(statics: SweepStatics, labels, vocab, dataset_name: str,
         unroll=statics.unroll,
         opt_kind=statics.opt_kind,
         partition_fn=partition_fn,
+        lazy_adam=statics.lazy_adam,
     )
     sspec = SentimentFitSpec(
         n_epochs_max=statics.n_sentiment_epochs_max,
@@ -274,6 +277,7 @@ def run_sweep(
     use_pallas: Optional[bool] = None,
     senti_mask: Optional[np.ndarray] = None,
     validation_curve: bool = False,
+    lazy_adam: Optional[bool] = None,
 ) -> SweepResult:
     """Run every config of the grid in vmapped chunks.
 
@@ -301,6 +305,13 @@ def run_sweep(
             per-chunk execution savings recur while the one-time Mosaic
             compile is amortized by the persistent compilation cache.
             Pass False to force the unfused XLA path.
+        lazy_adam: epoch-level lazy Adam for the latent tables
+            (mmtpu/train/optim.py) — slice-only per-step work instead of
+            three full-table passes per step.  None (default) = ON: the
+            trajectory deltas are float-rounding-level, inside the envelope
+            the sweep's bf16 matmul default already accepts
+            (PRECISION_STUDY.json).  Pass False (CLI ``--exact_adam``) for
+            the torch-exact dense path (what the parity harness uses).
     """
     import dataclasses as _dc
 
@@ -329,6 +340,8 @@ def run_sweep(
         use_pallas = pallas_available() and eff_rows >= MIN_PALLAS_ROWS
     if use_pallas and statics.word_metric == "angular":
         statics = _dc.replace(statics, use_pallas=True)
+    if lazy_adam is None or lazy_adam:
+        statics = _dc.replace(statics, lazy_adam=True)
     if statics.pos_max > 0:
         if prep.pos_table is None:
             raise ValueError(

@@ -49,6 +49,9 @@ class E2EFitSpec:
     # stacked decoder layout (one wide GEMM per step — see LatentFitSpec;
     # default off: measured slower on the sweep, scripts/diag_stacked.py)
     stacked_heads: bool = False
+    # epoch-level lazy Adam (see LatentFitSpec.lazy_adam / optim.py) —
+    # default off; the bf16 sweep fast path opts in
+    lazy_adam: bool = False
 
     def latent_spec(self) -> LatentFitSpec:
         return LatentFitSpec(
@@ -64,6 +67,7 @@ class E2EFitSpec:
             opt_kind=self.opt_kind,
             batch_shard_axis=self.batch_shard_axis,
             stacked_heads=self.stacked_heads,
+            lazy_adam=self.lazy_adam,
         )
 
 
@@ -120,9 +124,18 @@ def fit_e2e(
 
     sparse_sgd = spec.opt_kind == "sgd"
     perm_path = spec.opt_kind in ("sgd", "adam")  # see mmtpu/train/latents.py
+    lazy_adam = spec.opt_kind == "adam" and spec.lazy_adam
+
+    from mmtpu.train.optim import (
+        lazy_adam_catch_up,
+        lazy_adam_coeffs,
+        lazy_adam_epilogue,
+        lazy_adam_touch,
+    )
 
     def epoch_body(carry, epoch_idx):
         embed, dec, sen, e_opt, d_opt, s_opt, key = carry
+        embed0, e_opt0 = embed, e_opt
         key, sub = jax.random.split(key)
         perm = jax.random.permutation(sub, n) if spec.shuffle else jnp.arange(n)
         idx = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
@@ -147,9 +160,32 @@ def fit_e2e(
             starts = jnp.zeros((n_batches,), jnp.int32)
             e_opt_in = e_opt
 
-        def batch_body(bcarry, xs):
+        coeffs = (
+            lazy_adam_coeffs(e_opt.count, n_batches, hp["lr"])
+            if lazy_adam else None
+        )
+
+        # block streaming (see mmtpu/train/latents.py): sparse-SGD and
+        # lazy-Adam blocks flow as scan xs/ys instead of a carried table —
+        # a carried table is double-buffered by XLA (~5 full-table copies
+        # per step, profiled)
+        stream = sparse_sgd or lazy_adam
+        Dd = embp.shape[1]
+        xs = (idx, valid, starts)
+        if stream:
+            xs = xs + (embp.reshape(n_batches, bsz, Dd),)
+            if lazy_adam:
+                xs = xs + (e_opt_in.m.reshape(n_batches, bsz, Dd),
+                           e_opt_in.v.reshape(n_batches, bsz, Dd))
+
+        def batch_body(bcarry, xs_t):
             embed, dec, sen, e_opt, d_opt, s_opt = bcarry
-            j, row_valid, start = xs
+            if lazy_adam:
+                j, row_valid, start, p0, m0, v0 = xs_t
+            elif sparse_sgd:
+                j, row_valid, start, p0 = xs_t
+            else:
+                j, row_valid, start = xs_t
             b = _gather_batch(data, j)
             y = labels[j]
             csh = None
@@ -195,19 +231,31 @@ def fit_e2e(
                     jnp.sum(row_valid), 1.0
                 )
 
-            embed_arg = (
-                jax.lax.dynamic_slice_in_dim(embed, start, bsz)
-                if perm_path else embed
-            )
+            if lazy_adam:
+                s_step = start // bsz
+                embed_arg, m_s, v_s = lazy_adam_catch_up(
+                    p0, m0, v0, s_step, coeffs
+                )
+            elif sparse_sgd:
+                embed_arg = p0
+            else:
+                embed_arg = (
+                    jax.lax.dynamic_slice_in_dim(embed, start, bsz)
+                    if perm_path else embed
+                )
             loss, (ge, gd, gs) = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
                 embed_arg, dec, sen
             )
+            emb_ys = None
             if sparse_sgd:
                 act = jnp.asarray(active, jnp.float32)
-                embed2 = jax.lax.dynamic_update_slice_in_dim(
-                    embed, embed_arg - hp["lr"] * act * ge, start, 0
+                emb_ys = (embed_arg - hp["lr"] * act * ge,)
+                embed2, e_opt2 = embed, e_opt
+            elif lazy_adam:
+                emb_ys = lazy_adam_touch(
+                    embed_arg, m_s, v_s, ge, s_step, hp["lr"], coeffs
                 )
-                e_opt2 = e_opt
+                embed2, e_opt2 = embed, e_opt
             else:
                 if perm_path:  # adam in permuted space: contiguous dense grad
                     # (implicit-zero sliced variant measured slower on-chip —
@@ -236,14 +284,27 @@ def fit_e2e(
                                       gates=dec_gates)
             sen2, s_opt2 = opt_update(sen, gs, s_opt, hp["lr"], hp["opt_code"],
                                       active, kind=spec.opt_kind)
-            return (embed2, dec2, sen2, e_opt2, d_opt2, s_opt2), loss
+            ys = loss if emb_ys is None else (loss,) + emb_ys
+            return (embed2, dec2, sen2, e_opt2, d_opt2, s_opt2), ys
 
-        (emb_out, dec, sen, e_opt, d_opt, s_opt), batch_losses = jax.lax.scan(
+        (emb_out, dec, sen, e_opt, d_opt, s_opt), ys = jax.lax.scan(
             batch_body,
             (embp, dec, sen, e_opt_in, d_opt, s_opt),
-            (idx, valid, starts),
+            xs,
             unroll=spec.unroll,
         )
+        if stream:
+            batch_losses = ys[0]
+            emb_out = ys[1].reshape(n_batches * bsz, Dd)
+        else:
+            batch_losses = ys
+        if lazy_adam:
+            emb_out, m_l, v_l = lazy_adam_epilogue(
+                emb_out, ys[2].reshape(n_batches * bsz, Dd),
+                ys[3].reshape(n_batches * bsz, Dd),
+                n_batches, bsz, hp["lr"], coeffs,
+            )
+            e_opt = OptState(m=m_l, v=v_l, count=e_opt.count)
         if perm_path:
             # inverse permutation via argsort (a vmapped int scatter here
             # crashes the TPU compiler's scatter emitter; sort lowers fine)
@@ -255,6 +316,15 @@ def fit_e2e(
                 )
         else:
             embed = emb_out
+        if lazy_adam:
+            embed = jnp.where(active, embed, embed0)
+            e_opt = OptState(
+                m=jnp.where(active, e_opt.m, e_opt0.m),
+                v=jnp.where(active, e_opt.v, e_opt0.v),
+                count=jnp.where(
+                    active, e_opt0.count + n_batches, e_opt0.count
+                ),
+            )
         epoch_loss = jnp.sum(batch_losses)
         if inner_spec is None:
             return (embed, dec, sen, e_opt, d_opt, s_opt, key), epoch_loss

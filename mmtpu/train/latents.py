@@ -112,6 +112,14 @@ class LatentFitSpec:
     # XLA already batches the head GEMMs, and stacking forces a full-width
     # mu/sigma materialization that defeats per-head fusion.
     stacked_heads: bool = False
+    # Epoch-level lazy Adam (mmtpu/train/optim.py): collapse each latent
+    # row's zero-gradient "stale momentum" steps into per-epoch closed-form
+    # passes — slice-only work per step instead of three full-table sweeps.
+    # Same real-arithmetic values; float-rounding-level trajectory deltas
+    # (β^k by pow, one accumulated subtraction per epoch), so DEFAULT OFF —
+    # the parity path keeps torch-exact dense Adam; the bf16 sweep fast
+    # path opts in (SweepStatics.lazy_adam).
+    lazy_adam: bool = False
 
 
 def _word_logprob(spec: LatentFitSpec, latents, vocab_emb, b):
@@ -444,7 +452,14 @@ def fit_latents_segment(
 def _make_epoch_body(data, vocab_emb, hp, spec: LatentFitSpec, n,
                      validation, inner_spec):
     """One training epoch as a ``lax.scan`` body over the epoch index."""
-    from mmtpu.train.optim import OptState, opt_update
+    from mmtpu.train.optim import (
+        OptState,
+        lazy_adam_catch_up,
+        lazy_adam_coeffs,
+        lazy_adam_epilogue,
+        lazy_adam_touch,
+        opt_update,
+    )
 
     bsz = spec.batch_size
     n_batches = -(-n // bsz)
@@ -457,9 +472,14 @@ def _make_epoch_body(data, vocab_emb, hp, spec: LatentFitSpec, n,
     # static optimizer kinds run the epoch in PERMUTED space (see below);
     # the branchless runtime-code path keeps the classic dense layout
     perm_path = spec.opt_kind in ("sgd", "adam")
+    # epoch-level lazy Adam: slice-only steps + one catch-up/epilogue pass
+    # per epoch (optim.py "Epoch-level lazy Adam"); float-rounding-level
+    # deltas vs the dense path, so opt-in (the sweep's bf16 fast path)
+    lazy_adam = spec.opt_kind == "adam" and spec.lazy_adam
 
     def epoch_body(carry, epoch_idx):
         embed, dec, e_opt, d_opt, key = carry
+        embed0, e_opt0 = embed, e_opt
         key, sub = jax.random.split(key)
         if spec.shuffle:
             perm = jax.random.permutation(sub, n)
@@ -499,9 +519,38 @@ def _make_epoch_body(data, vocab_emb, hp, spec: LatentFitSpec, n,
             starts = jnp.zeros((n_batches,), jnp.int32)
             e_opt_in = e_opt
 
-        def batch_body(bcarry, xs):
+        coeffs = (
+            lazy_adam_coeffs(e_opt.count, n_batches, hp["lr"])
+            if lazy_adam else None
+        )
+
+        # Block streaming: in the sparse-SGD and lazy-Adam modes each row
+        # block is read and written by exactly one step, so the blocks flow
+        # through the scan as stacked inputs (xs) and outputs (ys) instead
+        # of a carried table updated by dynamic-update-slice.  A carried
+        # table forced XLA to double-buffer it — profiled at ~5 full-table
+        # copies per step ("data formatting", 27% of an Adam chunk) that an
+        # in-carry update-slice formulation did NOT remove.  ys buffers are
+        # written once per step by construction — no aliasing analysis
+        # required.  The reshape IS the batch structure: block s == rows
+        # [s·B, (s+1)·B) of the permuted table.
+        stream = sparse_sgd or lazy_adam
+        Dd = embp.shape[1]
+        xs = (idx, valid, starts)
+        if stream:
+            xs = xs + (embp.reshape(n_batches, bsz, Dd),)
+            if lazy_adam:
+                xs = xs + (e_opt_in.m.reshape(n_batches, bsz, Dd),
+                           e_opt_in.v.reshape(n_batches, bsz, Dd))
+
+        def batch_body(bcarry, xs_t):
             embed, dec, e_opt, d_opt = bcarry
-            j, row_valid, start = xs
+            if lazy_adam:
+                j, row_valid, start, p0, m0, v0 = xs_t
+            elif sparse_sgd:
+                j, row_valid, start, p0 = xs_t
+            else:
+                j, row_valid, start = xs_t
             b = _gather_batch(data, j)
 
             def loss_fn(embed_arg, dec_params):
@@ -510,10 +559,20 @@ def _make_epoch_body(data, vocab_emb, hp, spec: LatentFitSpec, n,
                     rows, dec_params, b, vocab_emb, hp, spec, row_valid
                 )
 
-            embed_arg = (
-                jax.lax.dynamic_slice_in_dim(embed, start, bsz)
-                if perm_path else embed
-            )
+            if lazy_adam:
+                # the block is s pending zero-grad steps behind — catch it
+                # up in-register before the forward pass
+                s_step = start // bsz
+                embed_arg, m_s, v_s = lazy_adam_catch_up(
+                    p0, m0, v0, s_step, coeffs
+                )
+            elif sparse_sgd:
+                embed_arg = p0
+            else:
+                embed_arg = (
+                    jax.lax.dynamic_slice_in_dim(embed, start, bsz)
+                    if perm_path else embed
+                )
             if spec.train_decoder:
                 loss, (g_embed, g_dec) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
                     embed_arg, dec
@@ -536,28 +595,45 @@ def _make_epoch_body(data, vocab_emb, hp, spec: LatentFitSpec, n,
                 dec2, d_opt2 = dec, d_opt
             if sparse_sgd:
                 act = jnp.asarray(active, jnp.float32)
-                embed2 = jax.lax.dynamic_update_slice_in_dim(
-                    embed, embed_arg - hp["lr"] * act * g_embed, start, 0
+                p2 = embed_arg - hp["lr"] * act * g_embed
+                return (embed, dec2, e_opt, d_opt2), (loss, p2)
+            if lazy_adam:
+                # inactive epochs are discarded wholesale at epoch end (the
+                # dense path gates per step)
+                p2, m2, v2 = lazy_adam_touch(
+                    embed_arg, m_s, v_s, g_embed, s_step, hp["lr"], coeffs
                 )
-                e_opt2 = e_opt
-            else:
-                if perm_path:  # adam in permuted space: contiguous dense grad
-                    # (an implicit-zero 4-pass variant — decay-only dense pass
-                    # + slice update-slices — measured 22% SLOWER on-chip;
-                    # docs/DESIGN.md "measured negatives")
-                    g_embed = jax.lax.dynamic_update_slice_in_dim(
-                        jnp.zeros_like(embed), g_embed, start, 0
-                    )
-                embed2, e_opt2 = opt_update(
-                    embed, g_embed, e_opt, hp["lr"], hp["opt_code"], active,
-                    kind=spec.opt_kind,
+                return (embed, dec2, e_opt, d_opt2), (loss, p2, m2, v2)
+            if perm_path:  # adam in permuted space: contiguous dense grad
+                # (an implicit-zero 4-pass variant — decay-only dense pass
+                # + slice update-slices — measured 22% SLOWER on-chip;
+                # docs/DESIGN.md "measured negatives")
+                g_embed = jax.lax.dynamic_update_slice_in_dim(
+                    jnp.zeros_like(embed), g_embed, start, 0
                 )
+            embed2, e_opt2 = opt_update(
+                embed, g_embed, e_opt, hp["lr"], hp["opt_code"], active,
+                kind=spec.opt_kind,
+            )
             return (embed2, dec2, e_opt2, d_opt2), loss
 
-        (emb_out, dec, e_opt, d_opt), batch_losses = jax.lax.scan(
-            batch_body, (embp, dec, e_opt_in, d_opt), (idx, valid, starts),
+        (emb_out, dec, e_opt, d_opt), ys = jax.lax.scan(
+            batch_body, (embp, dec, e_opt_in, d_opt), xs,
             unroll=spec.unroll,
         )
+        if stream:
+            batch_losses = ys[0]
+            emb_out = ys[1].reshape(n_batches * bsz, Dd)
+        else:
+            batch_losses = ys
+        if lazy_adam:
+            # every block's remaining zero-grad steps, one full-table pass
+            emb_out, m_l, v_l = lazy_adam_epilogue(
+                emb_out, ys[2].reshape(n_batches * bsz, Dd),
+                ys[3].reshape(n_batches * bsz, Dd),
+                n_batches, bsz, hp["lr"], coeffs,
+            )
+            e_opt = OptState(m=m_l, v=v_l, count=e_opt.count)
         if perm_path:
             # un-permute rows (and Adam's moment tables) once per epoch;
             # inverse permutation via argsort (a vmapped int scatter here
@@ -571,6 +647,17 @@ def _make_epoch_body(data, vocab_emb, hp, spec: LatentFitSpec, n,
                 )
         else:
             embed = emb_out
+        if lazy_adam:
+            # inactive-epoch gating, once per epoch (the dense path gates
+            # inside every opt_update)
+            embed = jnp.where(active, embed, embed0)
+            e_opt = OptState(
+                m=jnp.where(active, e_opt.m, e_opt0.m),
+                v=jnp.where(active, e_opt.v, e_opt0.v),
+                count=jnp.where(
+                    active, e_opt0.count + n_batches, e_opt0.count
+                ),
+            )
         epoch_loss = jnp.sum(batch_losses)
 
         if inner_spec is None:
