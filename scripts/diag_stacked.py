@@ -34,8 +34,6 @@ def main(argv=None) -> int:
 
     enable_compilation_cache()
 
-    import mmtpu.models.decoder as mdec
-    import mmtpu.train.latents as mlat
     from mmtpu.config import make_grid
     from mmtpu.data.pipeline import prepare_device_data
     from mmtpu.data.synthetic import synthesize_dataset
@@ -48,19 +46,23 @@ def main(argv=None) -> int:
     prep = prepare_device_data(ds, pos_mode="shared", pos_dims=(2, 4))
     cfgs = make_grid()[: args.configs]
 
-    orig = mdec.stack_decoder
+    # stacked_heads is DEFAULT OFF (measured slower — docs/DESIGN.md); force
+    # it per arm by wrapping the spec constructors the sweep runner uses
+    import functools
+
+    import mmtpu.sweep.runner as mrun
+
+    orig_l, orig_e = mrun.LatentFitSpec, mrun.E2EFitSpec
     results = {}
     for label in ("stacked", "per_head"):
-        if label == "per_head":
-            # identity "stack": is_stacked stays False → per-head path
-            mdec.stack_decoder = lambda p: (p, ())
-            mlat.stack_decoder = mdec.stack_decoder
+        if label == "stacked":
+            mrun.LatentFitSpec = functools.partial(orig_l, stacked_heads=True)
+            mrun.E2EFitSpec = functools.partial(orig_e, stacked_heads=True)
         try:
             res = run_sweep(cfgs, prep, batch_size=64, chunk_size=args.chunk,
                             verbose=False)
         finally:
-            mdec.stack_decoder = orig
-            mlat.stack_decoder = orig
+            mrun.LatentFitSpec, mrun.E2EFitSpec = orig_l, orig_e
         results[label] = {
             "exec_s": round(res.exec_time_s, 2),
             "compile_s": round(res.compile_time_s, 2),
