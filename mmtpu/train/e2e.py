@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from mmtpu.models.sentiment import apply_sentiment
-from mmtpu.train.latents import LatentFitSpec, batch_neg_log_prob, _gather_batch
+from mmtpu.train.latents import LatentFitSpec, _gather_batch
 from mmtpu.train.optim import OptState, init_opt_state, opt_update
 
 
