@@ -515,3 +515,27 @@ class TestChunkFallback:
         ref = R.run_sweep(cfgs, prep, batch_size=8, chunk_size=2, verbose=False)
         np.testing.assert_allclose(res.final_train_loss, ref.final_train_loss,
                                    rtol=1e-5)
+
+
+class TestLazyAdam:
+    def test_sweep_lazy_matches_exact_adam(self):
+        """run_sweep's lazy-Adam default (epoch-level closed forms —
+        mmtpu/train/optim.py) must match --exact_adam (torch-exact dense
+        Adam) to float-rounding noise: identical divergence behavior and
+        final losses within 1e-3 relative (measured ~8e-8 at this size)."""
+        prep = _tiny_prep()
+        cfgs = _grid4()
+        lazy = run_sweep(cfgs, prep, batch_size=8, verbose=False)
+        exact = run_sweep(cfgs, prep, batch_size=8, verbose=False,
+                          lazy_adam=False)
+        fa = np.asarray(lazy.final_train_loss)
+        fb = np.asarray(exact.final_train_loss)
+        assert (np.isfinite(fa) == np.isfinite(fb)).all()
+        fin = np.isfinite(fa)
+        np.testing.assert_allclose(fa[fin], fb[fin], rtol=1e-3)
+        for k in exact.metrics:
+            a = np.asarray(lazy.metrics[k], np.float64)[fin]
+            b = np.asarray(exact.metrics[k], np.float64)[fin]
+            m = ~(np.isnan(a) | np.isnan(b))
+            np.testing.assert_allclose(a[m], b[m], rtol=5e-2, atol=5e-3,
+                                       err_msg=k)
