@@ -3,7 +3,7 @@
 TPU-native equivalents of the metric computations in reference
 ``losses.py:276-366`` (``full_loss`` / ``iemocap_loss`` / ``pom_loss``), so an
 entire vmapped sweep can be scored on device without host round-trips.
-Golden-tested against sklearn in ``tests/test_eval.py``.
+Golden-tested against sklearn in ``tests/test_data_config_eval.py``.
 
 Note a reference quirk preserved deliberately: ``full_loss`` calls
 ``f1_score(np.round(predictions), np.round(y_test), average='weighted')`` —

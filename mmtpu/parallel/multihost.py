@@ -24,9 +24,16 @@ tests/test_multihost.py.
 
 from __future__ import annotations
 
+import itertools
 from typing import Optional, Sequence
 
 import numpy as np
+
+# monotone per-process sequence for barrier ids: every process calls
+# run_sweep_multihost the same number of times (SPMD), so the ids agree
+# across processes while staying unique per invocation — the coordination
+# service can reject a reused barrier key
+_barrier_seq = itertools.count()
 
 
 def init_multihost(
@@ -101,6 +108,9 @@ def run_sweep_multihost(
     with one end-of-sweep gather that is a no-op).  Accepts every
     :func:`mmtpu.sweep.run_sweep` keyword; a ``checkpoint_dir`` is suffixed
     per-process so host-local chunk resume keeps working.
+    ``return_embeddings=True`` embeddings stay host-local (MB-scale per
+    config — not worth a DCN gather); the merged result has
+    ``embeddings=None``.
     """
     import jax
     from jax.experimental import multihost_utils
@@ -121,23 +131,41 @@ def run_sweep_multihost(
               f"{len(configs)} configs on {jax.local_device_count()} "
               "local device(s)")
 
+    # valid_curve columns must be shape-identical across processes for the
+    # allgather: each shard's run_sweep sizes them to its OWN epoch max, and
+    # an empty shard emits none — normalize to the GLOBAL grid width here
+    vc_full = 0
+    if kw.get("validation_curve"):
+        vc_full = max(int(c.get("n_epochs", 100)) for c in configs) + 1
+
     if local_cfgs:
         local = run_sweep(local_cfgs, prep, n_runs=n_runs, verbose=verbose, **kw)
+        if vc_full:
+            vc = local.metrics["valid_curve"]
+            if vc.shape[-1] < vc_full:
+                vc = np.pad(vc, ((0, 0), (0, vc_full - vc.shape[-1])),
+                            constant_values=np.nan)
+            local.metrics["valid_curve"] = vc
     else:
         # empty shard (more processes than configs): still participate in the
         # allgather below — the other processes block on this one
-        local = empty_sweep_result(prep)
+        local = empty_sweep_result(prep, valid_curve_len=vc_full)
 
     # Shard skew is unbounded (uneven shards, cold compiles), but the Gloo
     # collective below has a bounded timeout — so rendezvous first on the
     # coordination service, whose barrier timeout we control.  Without this,
     # a fast (e.g. empty-shard) process times out in process_allgather while
-    # a slow peer is still compiling its sweep programs.
-    from jax._src import distributed as _dist
-
-    client = getattr(_dist.global_state, "client", None)
+    # a slow peer is still compiling its sweep programs.  The jax._src import
+    # is private — if it breaks across JAX versions, fall back to the
+    # allgather's own timeout rather than failing the sweep.
+    try:
+        from jax._src import distributed as _dist
+        client = getattr(_dist.global_state, "client", None)
+    except Exception:  # pragma: no cover — private-API drift
+        client = None
     if client is not None and P > 1:
-        client.wait_at_barrier("mmtpu_sweep_gather", 4 * 3600 * 1000)
+        client.wait_at_barrier(f"mmtpu_sweep_gather_{next(_barrier_seq)}",
+                               4 * 3600 * 1000)
 
     # global expanded order is config-major, run-minor (run_sweep's n_runs
     # expansion); local row (j, r) lands at global (cfg_idx[j]*n_runs + r)

@@ -171,6 +171,7 @@ def run_experiment(
     verbose: bool = True,
     mesh=None,
     resume_dir: Optional[str] = None,
+    lazy_adam: bool = False,
 ) -> Dict:
     """Run one full experiment for one config.  Returns a results dict.
 
@@ -186,6 +187,11 @@ def run_experiment(
     ``resume_dir`` makes the (non-e2e) training fit epoch-segment resumable
     via ``mmtpu.train.chunked.fit_latents_checkpointed`` — a killed run
     restarted with the same dir continues where it stopped.
+
+    ``lazy_adam=True`` selects the sweep executor's epoch-level lazy-Adam
+    fast path (mmtpu/train/optim.py) instead of the torch-exact dense Adam
+    default — used by ``--top_k_artifacts`` re-runs so a config is re-scored
+    on the same optimizer path the sweep selected it with.
     """
     if prep is None:
         prep = prepare(cfg, data_dir)
@@ -248,6 +254,7 @@ def run_experiment(
             valid_every=80 if validation_curve else 0,  # valid_niter*8
             partition_fn=partition_fn,
             opt_kind=cfg.optimizer,
+            lazy_adam=lazy_adam,
         )
         # e2e freeze_weights: heads frozen, norm still trains (see
         # mmtpu.train.e2e — simplesif.py:689-691 vs models.py:170-178)
@@ -288,6 +295,7 @@ def run_experiment(
         spec = LatentFitSpec(
             n_epochs_max=cfg.n_epochs,
             batch_size=cfg.batch_size,
+            lazy_adam=lazy_adam,
             train_decoder=not cfg.freeze_weights,
             unimodal=cfg.unimodal,
             word_metric=cfg.word_sim_metric,
@@ -339,6 +347,7 @@ def run_experiment(
     infer_spec = LatentFitSpec(
         n_epochs_max=cfg.n_epochs,
         batch_size=cfg.batch_size * 8,
+        lazy_adam=lazy_adam,
         train_decoder=False,
         unimodal=cfg.unimodal,
         word_metric=cfg.word_sim_metric,

@@ -60,7 +60,9 @@ def main(argv=None) -> int:
     parser.add_argument("--top_k_artifacts", type=int, default=0,
                         help="after the sweep, re-run the top-K configs "
                              "through the full runner to persist reference-"
-                             "layout artifacts (model_saves/...)")
+                             "layout artifacts (model_saves/...); the re-run "
+                             "uses the same optimizer path that selected the "
+                             "config (lazy Adam unless --exact_adam)")
     parser.add_argument("--n_runs", type=int, default=1,
                         help="repetitions per config with independent seeds")
     parser.add_argument("--validation_curve", action="store_true",
@@ -238,7 +240,9 @@ def main(argv=None) -> int:
                 semi_sup_idxes=args.semi_sup_idxes or None,
             )
             run_experiment(cfg, data_dir=args.data_dir, run_idx=rec["run"],
-                           verbose=False)
+                           verbose=False,
+                           # re-score on the optimizer path that selected it
+                           lazy_adam=not args.exact_adam)
             print(f"[sweep]   config {rec['config_num']} run {rec['run']} saved")
     return 0
 

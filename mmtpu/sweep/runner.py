@@ -47,6 +47,9 @@ class SweepResult:
     # relative to sweep start) — the exec-vs-compile split and per-bucket
     # timings relay instances make incomparable otherwise (BASELINE.md)
     chunk_stats: Optional[List[dict]] = None
+    # with run_sweep(return_embeddings=True): per-config trained latent
+    # tables, {"train"/"valid"/"test": (K, N_split, D) float32}
+    embeddings: Optional[Dict[str, np.ndarray]] = None
 
     @property
     def exec_time_s(self) -> float:
@@ -80,16 +83,23 @@ def metric_schema(prep) -> Dict[str, tuple]:
     return {k: () for k in ("accuracy", "f_score")}
 
 
-def empty_sweep_result(prep) -> "SweepResult":
+def empty_sweep_result(prep, valid_curve_len: int = 0) -> "SweepResult":
     """Zero-config :class:`SweepResult` with the correct metric schema —
     lets a process whose multihost shard is empty still participate in the
-    end-of-sweep allgather (pytree structure must match across processes)."""
+    end-of-sweep allgather (pytree structure must match across processes).
+
+    ``valid_curve_len`` > 0 adds the ``valid_curve`` column a
+    ``validation_curve=True`` sweep emits (width must match the peers':
+    grid-wide ``n_epochs_max + 1`` — see :func:`run_sweep_multihost`)."""
+    schema = metric_schema(prep)
+    if valid_curve_len > 0:
+        schema["valid_curve"] = (valid_curve_len,)
     return SweepResult(
         config_nums=np.zeros((0,), np.int64),
         run_idxs=np.zeros((0,), np.int64),
         final_train_loss=np.zeros((0,), np.float32),
         metrics={k: np.zeros((0,) + s, np.float32)
-                 for k, s in metric_schema(prep).items()},
+                 for k, s in schema.items()},
         wall_time_s=0.0,
         n_configs=0,
     )
@@ -110,9 +120,12 @@ def _stacked_sentiment_init(keys, embed_dim, hidden_dims, n_out, hidden_max):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *params)
 
 
-def build_sweep_fn(statics: SweepStatics, labels, vocab, dataset_name: str,
-                   return_embeddings: bool = False, senti_mask=None):
-    """Construct the single jitted sweep program for one chunk shape.
+def build_sweep_parts(statics: SweepStatics, labels, vocab, dataset_name: str,
+                      senti_mask=None):
+    """The sweep program's four phases as separately-callable (vmapped,
+    unjitted) functions — :func:`build_sweep_fn` composes them into the ONE
+    production program; ``run_sweep(phase_timing=True)`` jits and times each
+    individually (the per-phase exec split VERDICT r3 §3 asked for).
 
     ``senti_mask`` is the sweep-level 0/1 labeled mask for semi-supervised
     runs (the reference's ``--semi_sup_idxes`` is a CLI flag shared by every
@@ -198,57 +211,85 @@ def build_sweep_fn(statics: SweepStatics, labels, vocab, dataset_name: str,
         return embed, dec2, losses, (jnp.zeros((0,)) if vcurve is None
                                      else vcurve)
 
-    def sweep(rngs, init_embeds, dec_stack, senti_stack, hp, s_hp,
-              data_train, data_valid, data_test):
+    # --- phase 1: train latents (+decoder, + sentiment head if e2e) ---
+    def phase_train(rngs, init_embeds, dec_stack, senti_stack, hp,
+                    data_train, data_valid):
         dax = _data_axes(data_train)
         validation = None
         val_ax = None
         if statics.validation_curve:
             validation = (init_embeds["valid"], data_valid)
             val_ax = (None, dax)
-        # --- phase 1: train latents (+decoder, + sentiment head if e2e) ---
-        embeds, decs, losses, vcurves = jax.vmap(
+        return jax.vmap(
             one_train, in_axes=(0, None, 0, 0, 0, dax, val_ax)
         )(rngs, init_embeds["train"], dec_stack, senti_stack, hp, data_train,
           validation)
 
-        # --- phase 2: inference = optimization on valid/test (frozen dec) ---
-        def infer(rng, init_e, dec, hp, d):
-            e, _, _ = fit_latents(rng, init_e, dec, d, vocab, hp, ispec)
-            return e
+    # --- phase 2: inference = optimization on valid/test (frozen dec) ---
+    def infer(rng, init_e, dec, hp, d):
+        e, _, _ = fit_latents(rng, init_e, dec, d, vocab, hp, ispec)
+        return e
 
-        valid_e = jax.vmap(infer, in_axes=(0, None, 0, 0, dax))(
-            rngs, init_embeds["valid"], decs, hp, data_valid
-        )
-        test_e = jax.vmap(infer, in_axes=(0, None, 0, 0, dax))(
-            rngs, init_embeds["test"], decs, hp, data_test
+    def phase_infer(rngs, init_e, decs, hp, d):
+        return jax.vmap(infer, in_axes=(0, None, 0, 0, _data_axes(d)))(
+            rngs, init_e, decs, hp, d
         )
 
-        # --- phase 3: downstream sentiment training ---
-        # semi-sup: train on the labeled row subset only (the mask is
-        # sweep-level, so the subset is a static gather shared by all configs)
-        y_train = labels["train"]
-        if senti_sel is not None:
-            y_train = y_train[senti_sel]
+    # --- phase 3: downstream sentiment training ---
+    # semi-sup: train on the labeled row subset only (the mask is
+    # sweep-level, so the subset is a static gather shared by all configs)
+    y_train = labels["train"]
+    if senti_sel is not None:
+        y_train = y_train[senti_sel]
 
-        def sent(rng, senti, tr_e, va_e, shp):
-            tr_lat = tr_e if senti_sel is None else tr_e[senti_sel]
-            last, _, _, _ = fit_sentiment(
-                rng, senti, tr_lat, y_train, va_e, labels["valid"],
-                shp, sspec,
-            )
-            return last
+    def sent(rng, senti, tr_e, va_e, shp):
+        tr_lat = tr_e if senti_sel is None else tr_e[senti_sel]
+        last, _, _, _ = fit_sentiment(
+            rng, senti, tr_lat, y_train, va_e, labels["valid"],
+            shp, sspec,
+        )
+        return last
 
-        senti_final = jax.vmap(sent, in_axes=(0, 0, 0, 0, 0))(
+    def phase_sent(rngs, senti_stack, embeds, valid_e, s_hp):
+        return jax.vmap(sent, in_axes=(0, 0, 0, 0, 0))(
             rngs, senti_stack, embeds, valid_e, s_hp
         )
 
-        # --- phase 4: device-side metrics on test ---
-        def score(senti, te):
-            pred = apply_sentiment(senti, te)
-            return metric_fn(pred, labels["test"])
+    # --- phase 4: device-side metrics on test ---
+    def score(senti, te):
+        pred = apply_sentiment(senti, te)
+        return metric_fn(pred, labels["test"])
 
-        metrics = jax.vmap(score)(senti_final, test_e)
+    def phase_score(senti_final, test_e):
+        return jax.vmap(score)(senti_final, test_e)
+
+    return {
+        "train": phase_train,
+        "infer": phase_infer,
+        "sent": phase_sent,
+        "score": phase_score,
+    }
+
+
+def build_sweep_fn(statics: SweepStatics, labels, vocab, dataset_name: str,
+                   return_embeddings: bool = False, senti_mask=None):
+    """Construct the single jitted sweep program for one chunk shape, as the
+    composition of :func:`build_sweep_parts`'s four phases."""
+    parts = build_sweep_parts(statics, labels, vocab, dataset_name,
+                              senti_mask=senti_mask)
+
+    def sweep(rngs, init_embeds, dec_stack, senti_stack, hp, s_hp,
+              data_train, data_valid, data_test):
+        embeds, decs, losses, vcurves = parts["train"](
+            rngs, init_embeds, dec_stack, senti_stack, hp,
+            data_train, data_valid,
+        )
+        valid_e = parts["infer"](rngs, init_embeds["valid"], decs, hp,
+                                 data_valid)
+        test_e = parts["infer"](rngs, init_embeds["test"], decs, hp,
+                                data_test)
+        senti_final = parts["sent"](rngs, senti_stack, embeds, valid_e, s_hp)
+        metrics = parts["score"](senti_final, test_e)
         epoch_idx = jnp.clip(hp["n_epochs"] - 1, 0, statics.n_epochs_max - 1)
         final_loss = jax.vmap(lambda l, i: l[i])(losses, epoch_idx)
         out = {"metrics": metrics, "final_train_loss": final_loss}
@@ -278,6 +319,7 @@ def run_sweep(
     senti_mask: Optional[np.ndarray] = None,
     validation_curve: bool = False,
     lazy_adam: Optional[bool] = None,
+    phase_timing: bool = False,
 ) -> SweepResult:
     """Run every config of the grid in vmapped chunks.
 
@@ -312,6 +354,14 @@ def run_sweep(
             the sweep's bf16 matmul default already accepts
             (PRECISION_STUDY.json).  Pass False (CLI ``--exact_adam``) for
             the torch-exact dense path (what the parity harness uses).
+        phase_timing: DIAGNOSTIC mode — run each chunk as the four phase
+            programs of :func:`build_sweep_parts` (train fit / valid fit /
+            test fit / sentiment / metrics) instead of the one composed
+            program, recording per-phase device seconds in each
+            ``chunk_stats`` entry under ``"phases"``.  Adds a host sync per
+            phase (~0.1 s/chunk on the relay) and compiles phase programs
+            instead of the composed one; results are numerically equivalent
+            (same functions, separate XLA fusion scopes).
     """
     import dataclasses as _dc
 
@@ -400,6 +450,7 @@ def run_sweep(
     dec_root, sent_root, run_root = jax.random.split(root, 3)
     results_loss = np.zeros(k_total, np.float32)
     metrics_out: Dict[str, np.ndarray] = {}
+    embeds_out: Dict[str, np.ndarray] = {}  # "emb_train"/... when requested
     t0 = time.time()
     compile_time = 0.0
 
@@ -442,6 +493,8 @@ def run_sweep(
         _json.dumps(
             {
                 "bucketing": "opt+epochs",  # chunk-id scheme version
+                "return_embeddings": return_embeddings,  # changes npz contents
+                "phase_timing": phase_timing,  # separate fusion scopes
                 "seed": seed,
                 "batch_size": batch_size,
                 "unimodal": unimodal,
@@ -482,9 +535,10 @@ def run_sweep(
         n_real = len(positions)
         results_loss[positions] = chunk_loss[:n_real]
         for mk, mv in chunk_metrics.items():
-            if mk not in metrics_out:
-                metrics_out[mk] = np.zeros((k_total,) + mv.shape[1:], mv.dtype)
-            metrics_out[mk][positions] = mv[:n_real]
+            tgt = embeds_out if mk.startswith("emb_") else metrics_out
+            if mk not in tgt:
+                tgt[mk] = np.zeros((k_total,) + mv.shape[1:], mv.dtype)
+            tgt[mk][positions] = mv[:n_real]
 
     sweep_fns: Dict[str, object] = {}
 
@@ -497,6 +551,7 @@ def run_sweep(
 
     def drain(p):
         positions, out, chunk_id, wi, kind = p
+        phases = out.pop("_phase_times", None)  # phased-mode host dict
         chunk_loss = np.asarray(out["final_train_loss"])  # blocks on the chunk
         chunk_metrics = {mk: np.asarray(mv) for mk, mv in out["metrics"].items()}
         if "valid_curve" in out:
@@ -508,6 +563,9 @@ def run_sweep(
                 vc = np.pad(vc, ((0, 0), (0, full - vc.shape[-1])),
                             constant_values=np.nan)
             chunk_metrics["valid_curve"] = vc
+        if "embeddings" in out:
+            for s, v in out["embeddings"].items():
+                chunk_metrics[f"emb_{s}"] = np.asarray(v)
         scatter_results(positions, chunk_loss, chunk_metrics)
         if state_path is not None:
             np.savez(
@@ -527,6 +585,7 @@ def run_sweep(
         chunk_stats.append({
             "chunk": chunk_id, "kind": kind, "configs": len(positions),
             "done_at_s": round(time.time() - t0, 2),
+            **({"phases": phases} if phases else {}),
         })
         if verbose:
             print(f"[sweep] chunk {wi + 1}/{n_chunks} [{kind}] done "
@@ -597,6 +656,73 @@ def run_sweep(
             return_embeddings=return_embeddings, senti_mask=senti_mask,
         )
 
+    # ---- phased diagnostic executor (phase_timing=True) ----
+    bucket_parts: Dict[tuple, dict] = {}
+    compiled_phases: Dict[tuple, object] = {}
+
+    def _run_compiled(cache_key, fn, *a):
+        """AOT-compile once (into compile_time), execute, and stop the clock
+        on a device-side scalar token — np.asarray on a big output would put
+        the relay transfer inside the phase's exec time."""
+        nonlocal compile_time
+        if cache_key not in compiled_phases:
+            def tokened(*args_):
+                o = fn(*args_)
+                return o, jnp.sum(jax.tree.leaves(o)[0])
+            tc = time.time()
+            compiled_phases[cache_key] = jax.jit(tokened).lower(*a).compile()
+            compile_time += time.time() - tc
+        te = time.time()
+        out, token = compiled_phases[cache_key](*a)
+        np.asarray(token)  # forces full materialization (CLAUDE.md: axon
+        # block_until_ready can return early)
+        return out, time.time() - te
+
+    def run_phased(kind, ne_max, args):
+        key = (kind, ne_max)
+        if key not in bucket_parts:
+            bucket_parts[key] = build_sweep_parts(
+                _dc.replace(statics, opt_kind=kind, n_epochs_max=ne_max),
+                labels, vocab, prep.name, senti_mask=senti_mask,
+            )
+        parts = bucket_parts[key]
+        rngs, ie, dec_stack, senti_stack, hp, s_hp, dtr, dva, dte = args
+        times = {}
+        (embeds, decs, losses, vcurves), times["train"] = _run_compiled(
+            (key, "train"), parts["train"],
+            rngs, ie, dec_stack, senti_stack, hp, dtr, dva,
+        )
+        valid_e, times["valid_infer"] = _run_compiled(
+            (key, "infer_valid"), parts["infer"],
+            rngs, ie["valid"], decs, hp, dva,
+        )
+        test_e, times["test_infer"] = _run_compiled(
+            (key, "infer_test"), parts["infer"],
+            rngs, ie["test"], decs, hp, dte,
+        )
+        senti_final, times["sentiment"] = _run_compiled(
+            (key, "sent"), parts["sent"],
+            rngs, senti_stack, embeds, valid_e, s_hp,
+        )
+        metrics, times["metrics"] = _run_compiled(
+            (key, "score"), parts["score"], senti_final, test_e,
+        )
+        # final-epoch loss select, host-side (the composed program does this
+        # on device; K-row gather is trivial either way)
+        losses_np = np.asarray(losses)
+        idx = np.clip(np.asarray(hp["n_epochs"]) - 1, 0, ne_max - 1)
+        out = {
+            "metrics": metrics,
+            "final_train_loss": losses_np[np.arange(len(idx)), idx.astype(int)],
+            "_phase_times": {k: round(v, 3) for k, v in times.items()},
+        }
+        if statics.validation_curve:
+            out["valid_curve"] = vcurves
+        if return_embeddings:
+            out["embeddings"] = {"train": embeds, "valid": valid_e,
+                                 "test": test_e}
+        return out
+
     # ---- concurrent bucket compilation ----
     # Each bucket's program costs minutes of (remote) XLA compilation that
     # the lazy first-dispatch path would pay serially, back to back.  AOT-
@@ -608,6 +734,8 @@ def run_sweep(
         if chunk_id not in done_chunks and not any(
                 key == (kind, ne) for key, _ in todo_buckets):
             todo_buckets.append(((kind, ne), pos))
+    if phase_timing:
+        todo_buckets = []  # phased mode compiles its own per-phase programs
     if len(todo_buckets) > 1:
         import concurrent.futures as _cf
 
@@ -643,18 +771,34 @@ def run_sweep(
             continue
         args = chunk_args(kind, ne_max, positions)
         try:
-            if (kind, ne_max) not in sweep_fns:
-                # lazy-compile path (warmup skipped or failed): drain
-                # outstanding work first so compile-time accounting isn't
-                # polluted by a still-executing prior chunk
+            if phase_timing:
+                # phased diagnostic path: phases sync the host between them,
+                # so drain up front and skip the one-chunk pipeline
                 if pending is not None:
                     drain(pending)
                     pending = None
-                sweep_fns[(kind, ne_max)] = build_bucket_fn(kind, ne_max)
+                out = run_phased(kind, ne_max, args)
+            elif (kind, ne_max) not in sweep_fns:
+                # lazy-compile path (warmup skipped or failed): drain
+                # outstanding work first so compile-time accounting isn't
+                # polluted by a still-executing prior chunk; AOT-compile via
+                # .lower().compile() so the first chunk's EXECUTION stays out
+                # of compile_time (exec_time_s is the relay-stable signal)
+                if pending is not None:
+                    drain(pending)
+                    pending = None
+                fn = build_bucket_fn(kind, ne_max)
                 tc = time.time()
-                out = sweep_fns[(kind, ne_max)](*args)
-                jax.block_until_ready(out["final_train_loss"])
-                compile_time += time.time() - tc
+                if hasattr(fn, "lower"):
+                    fn = fn.lower(*args).compile()
+                    compile_time += time.time() - tc
+                    sweep_fns[(kind, ne_max)] = fn
+                    out = fn(*args)
+                else:  # non-jit callable (test doubles): old accounting
+                    sweep_fns[(kind, ne_max)] = fn
+                    out = fn(*args)
+                    jax.block_until_ready(out["final_train_loss"])
+                    compile_time += time.time() - tc
             else:
                 # steady state: dispatch is async — materialize the PREVIOUS
                 # chunk while this one executes (one-chunk-deep pipeline)
@@ -680,6 +824,8 @@ def run_sweep(
                 checkpoint_dir=checkpoint_dir, unroll=unroll,
                 use_pallas=use_pallas, senti_mask=senti_mask,
                 validation_curve=validation_curve,
+                lazy_adam=statics.lazy_adam,  # keep --exact_adam exact
+                phase_timing=phase_timing,
             )
 
         pending = (positions, out, chunk_id, wi, kind)
@@ -700,6 +846,8 @@ def run_sweep(
                 checkpoint_dir=checkpoint_dir, unroll=unroll,
                 use_pallas=use_pallas, senti_mask=senti_mask,
                 validation_curve=validation_curve,
+                lazy_adam=statics.lazy_adam,  # keep --exact_adam exact
+                phase_timing=phase_timing,
             )
 
     return SweepResult(
@@ -711,4 +859,8 @@ def run_sweep(
         n_configs=k_total,
         compile_time_s=compile_time,
         chunk_stats=chunk_stats,
+        embeddings=(
+            {s: embeds_out[f"emb_{s}"] for s in ("train", "valid", "test")}
+            if return_embeddings else None
+        ),
     )

@@ -86,6 +86,11 @@ def fit_latents_checkpointed(
     if spec.valid_every:
         raise ValueError("validation-curve mode is monolithic-only")
     n_total = spec.n_epochs_max
+    # preserve the caller's decoder layout, mirroring fit_latents: a caller
+    # passing already-stacked params gets stacked params back
+    from mmtpu.models.decoder import is_stacked
+
+    was_stacked = is_stacked(decoder_params)
     carry = init_fit_carry(rng, init_embed, decoder_params, spec)
     losses = np.zeros(n_total, np.float32)
     start = 0
@@ -123,5 +128,5 @@ def fit_latents_checkpointed(
     # carry travels stacked (init_fit_carry); restore the per-head pytree
     from mmtpu.train.latents import finish_fit_decoder
 
-    dec = finish_fit_decoder(dec, data, spec, was_stacked=False)
+    dec = finish_fit_decoder(dec, data, spec, was_stacked=was_stacked)
     return embed, dec, jnp.asarray(losses)

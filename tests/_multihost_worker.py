@@ -38,7 +38,13 @@ def main() -> None:
     if skew:
         time.sleep(float(skew.split(",")[pid]))
 
-    res = run_sweep_multihost(cfgs, _tiny_prep(), batch_size=8, verbose=False)
+    # optional: validation-curve mode — with an empty shard this exercises
+    # the allgather schema normalization (the empty process must emit a
+    # valid_curve column of the GLOBAL grid width)
+    vc = os.environ.get("MMTPU_TEST_VALID_CURVE") == "1"
+
+    res = run_sweep_multihost(cfgs, _tiny_prep(), batch_size=8, verbose=False,
+                              validation_curve=vc)
     json.dump(
         {
             "process": pid,

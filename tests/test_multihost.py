@@ -105,6 +105,56 @@ def test_two_process_sweep_empty_shard(tmp_path):
         results[0]["final_train_loss"], results[1]["final_train_loss"])
 
 
+@pytest.mark.slow
+def test_two_process_empty_shard_validation_curve(tmp_path):
+    """1 config + --validation_curve over 2 processes: the empty shard emits
+    no valid_curve on its own, and a non-empty shard sizes the curve to its
+    LOCAL epoch max — both must be normalized to the global grid width or
+    process_allgather sees mismatched pytrees (the round-3 verdict's hang
+    class, VERDICT.md §weak 5)."""
+    outs = [tmp_path / f"res_{p}.json" for p in range(2)]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    env["MMTPU_TEST_VALID_CURVE"] = "1"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(_REPO, "tests/_multihost_worker.py"),
+             str(p), "2", "19751", str(outs[p]), "1"],
+            env=env, cwd=_REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for p in range(2)
+    ]
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+    results = [json.load(open(o)) for o in outs]
+    for r in results:
+        vc = np.asarray(r["metrics"]["valid_curve"], np.float64)
+        # global width = grid-wide n_epochs_max + 1 (config 0 has n_epochs=2)
+        assert vc.shape == (1, 3)
+        assert np.isfinite(vc).any()
+    np.testing.assert_array_equal(
+        np.asarray(results[0]["metrics"]["valid_curve"]),
+        np.asarray(results[1]["metrics"]["valid_curve"]),
+    )
+
+
+def test_empty_sweep_result_valid_curve_schema():
+    """empty_sweep_result(valid_curve_len=W) must add the (0, W) column a
+    validation_curve sweep emits."""
+    from mmtpu.sweep.runner import empty_sweep_result
+
+    class _P:
+        name = "mosi"
+        labels = {"test": np.zeros((6,), np.float32)}
+
+    empty = empty_sweep_result(_P(), valid_curve_len=4)
+    assert empty.metrics["valid_curve"].shape == (0, 4)
+    assert "valid_curve" not in empty_sweep_result(_P()).metrics
+
+
 def test_metric_schema_matches_metric_fns():
     """empty_sweep_result's hardcoded schema must track the real metric fns
     (keys AND trailing shapes) for every dataset."""

@@ -517,6 +517,97 @@ class TestChunkFallback:
                                    rtol=1e-5)
 
 
+class TestRetryKwargs:
+    def test_exact_adam_survives_width_retry(self, monkeypatch):
+        """--exact_adam (lazy_adam=False) must stay exact across the width-
+        halving retry: the round-3 advisor found the recursive run_sweep
+        calls dropped lazy_adam, silently re-enabling the fast path."""
+        from mmtpu.sweep import runner as R
+
+        prep = _tiny_prep()
+        cfgs = _grid4()
+        orig_build = R.build_sweep_fn
+        orig_run = R.run_sweep
+        calls = {"n": 0}
+        retry_kwargs = {}
+
+        def build_with_width(statics, *a, **kw):
+            fn = orig_build(statics, *a, **kw)
+
+            def wrapped(rngs, *args, **kwargs):
+                calls["n"] += 1
+                if calls["n"] == 1 and rngs.shape[0] == 4:
+                    raise jax.errors.JaxRuntimeError("UNAVAILABLE: synthetic")
+                return fn(rngs, *args, **kwargs)
+
+            return wrapped
+
+        def spy_run(*a, **kw):
+            if kw.get("chunk_size") == 2:  # the half-width retry
+                retry_kwargs.update(kw)
+            return orig_run(*a, **kw)
+
+        monkeypatch.setattr(R, "build_sweep_fn", build_with_width)
+        monkeypatch.setattr(R, "run_sweep", spy_run)
+        res = R.run_sweep(cfgs, prep, batch_size=8, chunk_size=4,
+                          verbose=False, lazy_adam=False)
+        assert retry_kwargs, "width-halving retry never happened"
+        assert retry_kwargs["lazy_adam"] is False
+        assert retry_kwargs["phase_timing"] is False
+        # the retried result equals a clean exact-Adam run at the new width
+        monkeypatch.setattr(R, "build_sweep_fn", orig_build)
+        ref = orig_run(cfgs, prep, batch_size=8, chunk_size=2, verbose=False,
+                       lazy_adam=False)
+        np.testing.assert_allclose(res.final_train_loss, ref.final_train_loss,
+                                   rtol=1e-6)
+
+
+class TestPhaseTiming:
+    def test_phased_equals_composed(self):
+        """phase_timing=True (per-phase programs) must reproduce the composed
+        program's results and record the five phase timings per chunk."""
+        prep = _tiny_prep()
+        cfgs = _grid4()
+        r1 = run_sweep(cfgs, prep, batch_size=8, chunk_size=2, verbose=False)
+        r2 = run_sweep(cfgs, prep, batch_size=8, chunk_size=2, verbose=False,
+                       phase_timing=True)
+        np.testing.assert_allclose(r1.final_train_loss, r2.final_train_loss,
+                                   rtol=1e-6)
+        for k in r1.metrics:
+            np.testing.assert_allclose(r1.metrics[k], r2.metrics[k],
+                                       rtol=1e-5, atol=1e-6, err_msg=k)
+        for cs in r2.chunk_stats:
+            assert set(cs["phases"]) == {
+                "train", "valid_infer", "test_infer", "sentiment", "metrics"
+            }
+            assert all(v >= 0 for v in cs["phases"].values())
+
+
+class TestReturnEmbeddings:
+    def test_embeddings_returned_and_scattered(self):
+        """return_embeddings=True fills SweepResult.embeddings with
+        (K, N_split, D) per-config latents in input order (it used to be a
+        dead kwarg — round-3 verdict weak #4)."""
+        prep = _tiny_prep()
+        cfgs = _grid4()
+        res = run_sweep(cfgs, prep, batch_size=8, chunk_size=2, verbose=False,
+                        return_embeddings=True)
+        D = prep.embed_dim
+        assert res.embeddings is not None
+        assert res.embeddings["train"].shape == (4, 24, D)
+        assert res.embeddings["valid"].shape == (4, 8, D)
+        assert res.embeddings["test"].shape == (4, 10, D)
+        fin = np.isfinite(res.final_train_loss)
+        for s in ("train", "valid", "test"):
+            assert np.isfinite(res.embeddings[s][fin]).all(), s
+        # different configs produced different latents
+        assert not np.allclose(res.embeddings["train"][0],
+                               res.embeddings["train"][1])
+        # off by default
+        assert run_sweep(cfgs[:1], prep, batch_size=8,
+                         verbose=False).embeddings is None
+
+
 class TestLazyAdam:
     def test_sweep_lazy_matches_exact_adam(self):
         """run_sweep's lazy-Adam default (epoch-level closed forms —
