@@ -451,20 +451,30 @@ def _sweep_rate() -> dict:
         vocab_size=3016, embed_dim=300, audio_dim=74, visual_dim=47,
     )
     prep = prepare_device_data(ds, pos_mode="shared", pos_dims=(2, 4))
-    cfgs = make_grid()[:n_cfg]
+    # ONE bucket's worth of configs, most-expensive bucket (adam, 200
+    # epochs): production 512-grid chunks are bucket-homogeneous and exactly
+    # chunk-wide (128 per bucket = 4 x 32), so a mixed-bucket slice would
+    # measure mostly chunk PADDING (a 4-bucket 32-config slice pads each
+    # ~8-config bucket chunk to width 32 — 4x wasted compute, which is what
+    # earlier rounds' 16-config sweep numbers unknowingly included).
+    cfgs = [c for c in make_grid()
+            if (c.get("optimizer"), c.get("n_epochs")) == ("adam", 200)
+            ][:n_cfg]
     res = run_sweep(cfgs, prep, batch_size=64, chunk_size=32, verbose=False)
     rate = res.n_configs / res.wall_time_s * 3600
     exec_s = max(res.exec_time_s, 1e-9)
 
     # sweep-mode model FLOPs by phase (matmul-only, per config):
     # e2e train at each config's n_epochs (batch 64, 1284 rows) + 2 inference
-    # fits at n_epochs (batch 512; 229/686 rows)
+    # fits at n_epochs.  The valid fit's single batch is clamped to 256 (the
+    # infer_batch_clamp default — 229 rows); the 686-row test fit keeps the
+    # reference's 512 x 2 batches.
     step = lambda B, V: model_flops_per_step(B, V, 300, 20, 74 + 6, 47 + 6)
     train_flops = valid_flops = test_flops = 0.0
     for c in cfgs:
         ne = c["n_epochs"]
         train_flops += step(64, 3016) * (-(-1284 // 64)) * ne
-        valid_flops += step(512, 3016) * (-(-229 // 512)) * ne
+        valid_flops += step(256, 3016) * 1 * ne
         test_flops += step(512, 3016) * (-(-686 // 512)) * ne
     flops = train_flops + valid_flops + test_flops
     peak = _peak_flops(jax.devices()[0])
@@ -482,6 +492,7 @@ def _sweep_rate() -> dict:
         "sweep_mfu_pct": round(mfu * 100, 2),
         "sweep_configs_per_hour_exec": round(res.n_configs / exec_s * 3600, 1),
         "sweep_n_configs": res.n_configs,
+        "sweep_bucket": "adam200",  # most-expensive bucket → conservative
     }
 
     if os.environ.get("MMTPU_BENCH_PHASES", "1") != "0":

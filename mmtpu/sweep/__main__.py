@@ -57,6 +57,11 @@ def main(argv=None) -> int:
                              "epoch-level lazy-Adam fast path (float-"
                              "rounding-level trajectory deltas; see "
                              "mmtpu/train/optim.py)")
+    parser.add_argument("--no_infer_clamp", action="store_true",
+                        help="keep the reference's fixed batch_size*8 for "
+                             "single-batch inference fits instead of "
+                             "shrinking the static batch to the split's row "
+                             "count (float-reduction-order deltas only)")
     parser.add_argument("--top_k_artifacts", type=int, default=0,
                         help="after the sweep, re-run the top-K configs "
                              "through the full runner to persist reference-"
@@ -157,6 +162,7 @@ def main(argv=None) -> int:
         senti_mask=mask,
         validation_curve=args.validation_curve,
         lazy_adam=False if args.exact_adam else None,
+        infer_batch_clamp=not args.no_infer_clamp,
     )
     if args.multihost:
         from mmtpu.parallel.multihost import run_sweep_multihost

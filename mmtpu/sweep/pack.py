@@ -61,6 +61,15 @@ class SweepStatics:
     # recursive validation curves during training (reference cadence 80 —
     # simplesif.py:146-159, 795-799); expensive, opt-in
     validation_curve: bool = False
+    # Shrink a SINGLE-BATCH inference fit's static batch to the next
+    # batch_size multiple >= the split's row count (e.g. MOSI valid: 229 rows
+    # at the reference's batch_size*8 = 512 → 256, halving the padded
+    # compute).  Row grouping is unchanged — every real row still shares the
+    # one batch, so losses/batch-norm statistics see identical row sets; the
+    # only deltas are float reduction order (tested ~1e-6).  Multi-batch
+    # splits are never touched (regrouping would change batch-norm
+    # semantics — simplesif.py:607-610).
+    infer_batch_clamp: bool = True
 
 
 def statics_from_configs(

@@ -226,8 +226,22 @@ def build_sweep_parts(statics: SweepStatics, labels, vocab, dataset_name: str,
           validation)
 
     # --- phase 2: inference = optimization on valid/test (frozen dec) ---
+    def _ispec_for(n_rows: int):
+        """Single-batch inference fits shrink their static batch to the next
+        batch_size multiple >= n_rows (SweepStatics.infer_batch_clamp):
+        identical row grouping — all real rows still share the one batch —
+        so the only deltas are float reduction order; the padded compute
+        (e.g. 283 dead rows of MOSI valid's 229-row batch at the reference's
+        512) goes away.  Multi-batch splits keep the reference's batch."""
+        full = ispec.batch_size
+        if not statics.infer_batch_clamp or n_rows >= full:
+            return ispec
+        eff = min(full, -(-n_rows // statics.batch_size) * statics.batch_size)
+        return dataclasses.replace(ispec, batch_size=eff)
+
     def infer(rng, init_e, dec, hp, d):
-        e, _, _ = fit_latents(rng, init_e, dec, d, vocab, hp, ispec)
+        e, _, _ = fit_latents(rng, init_e, dec, d, vocab, hp,
+                              _ispec_for(init_e.shape[0]))
         return e
 
     def phase_infer(rngs, init_e, decs, hp, d):
@@ -320,6 +334,7 @@ def run_sweep(
     validation_curve: bool = False,
     lazy_adam: Optional[bool] = None,
     phase_timing: bool = False,
+    infer_batch_clamp: bool = True,
 ) -> SweepResult:
     """Run every config of the grid in vmapped chunks.
 
@@ -362,6 +377,10 @@ def run_sweep(
             phase (~0.1 s/chunk on the relay) and compiles phase programs
             instead of the composed one; results are numerically equivalent
             (same functions, separate XLA fusion scopes).
+        infer_batch_clamp: shrink single-batch inference fits' static batch
+            to the split's row count (see SweepStatics.infer_batch_clamp);
+            default ON — float-reduction-order deltas only.  Pass False to
+            keep the reference's fixed batch_size*8.
     """
     import dataclasses as _dc
 
@@ -392,6 +411,8 @@ def run_sweep(
         statics = _dc.replace(statics, use_pallas=True)
     if lazy_adam is None or lazy_adam:
         statics = _dc.replace(statics, lazy_adam=True)
+    if not infer_batch_clamp:
+        statics = _dc.replace(statics, infer_batch_clamp=False)
     if statics.pos_max > 0:
         if prep.pos_table is None:
             raise ValueError(
@@ -826,6 +847,7 @@ def run_sweep(
                 validation_curve=validation_curve,
                 lazy_adam=statics.lazy_adam,  # keep --exact_adam exact
                 phase_timing=phase_timing,
+                infer_batch_clamp=statics.infer_batch_clamp,
             )
 
         pending = (positions, out, chunk_id, wi, kind)
@@ -848,6 +870,7 @@ def run_sweep(
                 validation_curve=validation_curve,
                 lazy_adam=statics.lazy_adam,  # keep --exact_adam exact
                 phase_timing=phase_timing,
+                infer_batch_clamp=statics.infer_batch_clamp,
             )
 
     return SweepResult(

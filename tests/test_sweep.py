@@ -608,6 +608,25 @@ class TestReturnEmbeddings:
                          verbose=False).embeddings is None
 
 
+class TestInferBatchClamp:
+    def test_clamp_matches_reference_batching(self):
+        """The single-batch inference clamp (SweepStatics.infer_batch_clamp,
+        default on) must reproduce the reference's fixed batch_size*8
+        inference fits: same row grouping, so train losses are identical and
+        metrics differ only by float reduction order."""
+        prep = _tiny_prep()  # valid 8 / test 10 rows; batch 8 → full 64
+        cfgs = _grid4()
+        on = run_sweep(cfgs, prep, batch_size=8, verbose=False)
+        off = run_sweep(cfgs, prep, batch_size=8, verbose=False,
+                        infer_batch_clamp=False)
+        # train phase is untouched by the clamp
+        np.testing.assert_array_equal(on.final_train_loss,
+                                      off.final_train_loss)
+        for k in on.metrics:
+            np.testing.assert_allclose(on.metrics[k], off.metrics[k],
+                                       rtol=1e-4, atol=1e-5, err_msg=k)
+
+
 class TestLazyAdam:
     def test_sweep_lazy_matches_exact_adam(self):
         """run_sweep's lazy-Adam default (epoch-level closed forms —
