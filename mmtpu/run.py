@@ -75,6 +75,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                              "('data','vocab') mesh: 'data' (all devices on "
                              "the batch axis), 'vocab', 'data,vocab' (split), "
                              "or explicit sizes 'data=4,vocab=2'")
+    parser.add_argument("--lazy_adam", action="store_true",
+                        help="epoch-level lazy-Adam fast path for the latent "
+                             "tables (the sweep executor's default; "
+                             "float-rounding-level trajectory deltas vs the "
+                             "torch-exact dense Adam this CLI defaults to)")
     parser.add_argument("--resume_dir", metavar="DIR",
                         help="epoch-segment checkpoint dir: a killed run "
                              "restarted with the same DIR resumes where it "
@@ -178,6 +183,7 @@ def main(argv=None) -> int:
                 mesh=mesh,
                 resume_dir=(f"{args.resume_dir}_run{r}" if args.resume_dir
                             and cfg.n_runs > 1 else args.resume_dir),
+                lazy_adam=args.lazy_adam,
             )
             all_results.append(res)
             print(f"run {r}: train_time={res['train_time_s']:.2f}s "

@@ -57,6 +57,11 @@ def main(argv=None) -> int:
                              "epoch-level lazy-Adam fast path (float-"
                              "rounding-level trajectory deltas; see "
                              "mmtpu/train/optim.py)")
+    parser.add_argument("--phase_timing", action="store_true",
+                        help="DIAGNOSTIC: run each chunk as separate phase "
+                             "programs (train / valid fit / test fit / "
+                             "sentiment / metrics) and record per-phase "
+                             "device seconds in the summary's chunk stats")
     parser.add_argument("--no_infer_clamp", action="store_true",
                         help="keep the reference's fixed batch_size*8 for "
                              "single-batch inference fits instead of "
@@ -163,6 +168,7 @@ def main(argv=None) -> int:
         validation_curve=args.validation_curve,
         lazy_adam=False if args.exact_adam else None,
         infer_batch_clamp=not args.no_infer_clamp,
+        phase_timing=args.phase_timing,
     )
     if args.multihost:
         from mmtpu.parallel.multihost import run_sweep_multihost
