@@ -1,0 +1,35 @@
+"""bench.py resilience: the driver's capture window is one shot, so the tool
+must emit exactly ONE parseable JSON line with rc=0 even when the TPU relay
+is down (BENCH_r02/r03 both died to a transient outage at capture time)."""
+
+import json
+import os
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_emits_structured_json_on_backend_outage():
+    """With an impossibly-short probe timeout the backend probe always fails
+    (even a healthy relay needs >1 s to init), forcing the fallback path:
+    rc=0, one JSON line, value null, error recorded, forced-CPU smoke ok."""
+    env = dict(os.environ)
+    env["MMTPU_BENCH_INIT_TRIES"] = "1"
+    env["MMTPU_BENCH_INIT_TIMEOUT_S"] = "1"
+    env["MMTPU_BENCH_INIT_BACKOFF_S"] = "0"
+    env.pop("XLA_FLAGS", None)  # no virtual-device split in the subprocess
+    out = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "bench.py")],
+        env=env, cwd=_REPO, capture_output=True, text=True, timeout=560,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected ONE JSON line, got: {lines}"
+    rec = json.loads(lines[0])
+    assert rec["value"] is None
+    assert rec["backend"] == "cpu"
+    assert "error" in rec and "unavailable" in rec["error"].lower()
+    assert rec["cpu_smoke_ok"] is True
+    # the driver's schema essentials are present even in the failure record
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
