@@ -691,7 +691,15 @@ def run_sweep(
                 o = fn(*args_)
                 return o, jnp.sum(jax.tree.leaves(o)[0])
             tc = time.time()
-            compiled_phases[cache_key] = jax.jit(tokened).lower(*a).compile()
+            compiled = jax.jit(tokened).lower(*a).compile()
+            # one untimed warm dispatch: the relay's FIRST execution of a
+            # freshly loaded executable runs multi-x slower than steady
+            # state (settling, ~0.8 s observed on trivial programs); the
+            # phase table must report steady-state seconds.  The warm run
+            # is booked as compile/load overhead, not into any phase.
+            _, tok = compiled(*a)
+            np.asarray(tok)
+            compiled_phases[cache_key] = compiled
             compile_time += time.time() - tc
         te = time.time()
         out, token = compiled_phases[cache_key](*a)

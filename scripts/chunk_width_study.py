@@ -10,7 +10,8 @@ This script re-probes widths on the same relay instance back-to-back
 (exec_time_s is instance-stable to ~3%; totals are not — BASELINE.md),
 running the same N grid configs at each width and reporting exec s/config.
 
-Usage:  python scripts/chunk_width_study.py [--n 64] [--widths 32,48,64]
+Usage:  python scripts/chunk_width_study.py [--chunks_per_width 2] [--widths 32,48,64]
+(n_configs per width = width x chunks_per_width, so no chunk is padded.)
 Emits a row per width + one JSON line; non-fatal per-width failures are
 recorded (a width that fails to compile/dispatch is a data point, not an
 error).
