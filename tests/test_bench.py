@@ -33,3 +33,8 @@ def test_bench_emits_structured_json_on_backend_outage():
     assert rec["cpu_smoke_ok"] is True
     # the driver's schema essentials are present even in the failure record
     assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
+    # the outage record carries the newest builder self-capture, clearly
+    # labeled as NOT a driver capture (docs/selfcaptures/)
+    sc = rec["last_builder_selfcapture"]
+    assert "NOT a driver capture" in sc["note"]
+    assert sc["record"]["value"] > 0
