@@ -1,4 +1,9 @@
-"""mmtpu benchmark — prints ONE JSON line for the driver, ALWAYS (rc=0).
+"""mmtpu benchmark — prints the result JSON line for the driver, ALWAYS
+(rc=0).  The record is REFRESHED on stdout after every completed section
+(headline, pallas gate, serving, sweep, phase split) and on SIGTERM/SIGHUP,
+so the LAST JSON line on stdout is always the most complete snapshot — an
+external kill or relay hang mid-run can no longer yield zero output
+(VERDICT r4 weak #1).
 
 Workload: the reference's hot path (SURVEY.md §3.1 hot loop #1) at real MOSI
 scale on synthetic data — MMB2 latent+decoder training (`fit_latents`,
@@ -43,6 +48,7 @@ MMTPU_BENCH_INIT_TRIES/_TIMEOUT_S/_BACKOFF_S tune the init probe (default
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -73,6 +79,37 @@ _PROBE_SNIPPET = (
 
 def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+# The record being built, exposed for the emission machinery below.  The
+# driver takes the LAST JSON line on stdout, so refreshing the record after
+# every completed section means ANY truncation of the run — relay hang,
+# driver-window SIGTERM/SIGKILL, OOM kill — still leaves the most recent
+# complete snapshot on stdout (VERDICT r4 weak #1: previously the record
+# printed only at end of main(), so an external kill emitted nothing).
+_RECORD: dict = {}
+
+
+def _emit(record: dict) -> None:
+    """Print the current record as a full JSON line (incremental refresh)."""
+    print(json.dumps(record), flush=True)
+
+
+def _install_signal_emitters(record: dict) -> None:
+    """On SIGTERM/SIGHUP, print the partial record and exit 0 — a driver
+    capture window shorter than the run must still yield a JSON line."""
+    def _handler(signum, frame):  # pragma: no cover — signal path
+        record.setdefault(
+            "error", f"killed by signal {signal.Signals(signum).name} "
+                     "(partial record)")
+        _emit(record)
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGHUP):
+        try:
+            signal.signal(sig, _handler)
+        except (ValueError, OSError):  # non-main thread / unsupported
+            pass
 
 
 def probe_backend() -> tuple:
@@ -125,8 +162,11 @@ def _attach_selfcapture(record: dict) -> None:
     try:
         import glob
         here = os.path.dirname(os.path.abspath(__file__))
+        # newest by mtime, not filename: lexicographic sort puts _r10 before
+        # _r3 (advisor r4)
         files = sorted(glob.glob(
-            os.path.join(here, "docs", "selfcaptures", "bench_*.json")))
+            os.path.join(here, "docs", "selfcaptures", "bench_*.json")),
+            key=os.path.getmtime)
         if not files:
             return
         with open(files[-1]) as f:
@@ -202,12 +242,14 @@ def _cpu_smoke() -> bool:
 
 
 def main() -> None:
-    record = {
+    record = _RECORD
+    record.update({
         "metric": "utterances/sec/chip (MMB2 train)",
         "value": None,
         "unit": "utterances/sec",
         "vs_baseline": None,
-    }
+    })
+    _install_signal_emitters(record)
     if os.environ.get("MMTPU_BENCH_FORCE") == "1":
         # dev smoke: skip the probe and run the workload on whatever backend
         # comes up (pair with tiny MMTPU_BENCH_EPOCHS/_SWEEP_N on CPU)
@@ -271,7 +313,11 @@ def _run_benchmark(record: dict) -> None:
                            f"init fell back to {record['backend']!r} "
                            "(relay flapped between probe and init)")
         _attach_selfcapture(record)
-        record["cpu_smoke_ok"] = _cpu_smoke()
+        try:
+            record["cpu_smoke_ok"] = _cpu_smoke()
+        except Exception as e:  # keep the outage diagnosis, note the smoke
+            record["cpu_smoke_ok"] = False
+            record["cpu_smoke_error"] = repr(e)[:300]
         return
     record["device_kind"] = jax.devices()[0].device_kind
 
@@ -374,6 +420,7 @@ def _run_benchmark(record: dict) -> None:
     achieved_tflops = total_flops / dt / 1e12
     record["mfu_pct"] = round(mfu * 100, 2)
     record["model_tflops_per_s"] = round(achieved_tflops, 2)
+    _emit(record)  # headline landed — survive any later truncation
 
     _log(
         f"[bench] backend={jax.default_backend()} "
@@ -398,6 +445,7 @@ def _run_benchmark(record: dict) -> None:
         except Exception as e:
             record["pallas_gate_error"] = repr(e)[:300]
             pallas_ok = False
+        _emit(record)
 
     if os.environ.get("MMTPU_BENCH_SERVE", "1") != "0":
         try:
@@ -405,10 +453,12 @@ def _run_benchmark(record: dict) -> None:
         except Exception as e:  # keep the headline alive
             record["serving_error"] = repr(e)[:300]
             traceback.print_exc(file=sys.stderr)
+        _emit(record)
 
     if os.environ.get("MMTPU_BENCH_SWEEP", "1") != "0":
         try:
-            record.update(_sweep_rate(use_pallas=None if pallas_ok else False))
+            record.update(_sweep_rate(use_pallas=None if pallas_ok else False,
+                                      record=record))
         except Exception as e:  # keep the headline alive
             record["sweep_error"] = repr(e)[:300]
             traceback.print_exc(file=sys.stderr)
@@ -490,7 +540,7 @@ def _serving_latency() -> dict:
     }
 
 
-def _sweep_rate(use_pallas=None) -> dict:
+def _sweep_rate(use_pallas=None, record=None) -> dict:
     """PRODUCTION-path numbers at the production chunk shape (32 configs in
     one 32-wide chunk): full-pipeline sweep rate (configs/hour), the
     exec-vs-compile split, and — via a phase-split rerun
@@ -556,6 +606,9 @@ def _sweep_rate(use_pallas=None) -> dict:
     }
     if use_pallas is False:
         out["sweep_pallas_disabled"] = True  # gate failed → XLA path used
+    if record is not None:  # composed-sweep numbers landed; phase rerun is
+        record.update(out)  # another long compile — snapshot before it
+        _emit(record)
 
     if os.environ.get("MMTPU_BENCH_PHASES", "1") != "0":
         res_p = run_sweep(cfgs, prep, batch_size=64, chunk_size=32,
@@ -586,8 +639,9 @@ if __name__ == "__main__":
         if isinstance(e, (KeyboardInterrupt, SystemExit)):
             raise
         traceback.print_exc(file=sys.stderr)
-        print(json.dumps({
+        rec = dict(_RECORD) if _RECORD else {
             "metric": "utterances/sec/chip (MMB2 train)",
             "value": None, "unit": "utterances/sec", "vs_baseline": None,
-            "error": f"{type(e).__name__}: {e}"[:600],
-        }))
+        }
+        rec["error"] = f"{type(e).__name__}: {e}"[:600]
+        print(json.dumps(rec))

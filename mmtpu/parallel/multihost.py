@@ -24,16 +24,35 @@ tests/test_multihost.py.
 
 from __future__ import annotations
 
-import itertools
 from typing import Optional, Sequence
 
 import numpy as np
 
-# monotone per-process sequence for barrier ids: every process calls
-# run_sweep_multihost the same number of times (SPMD), so the ids agree
-# across processes while staying unique per invocation — the coordination
-# service can reject a reused barrier key
-_barrier_seq = itertools.count()
+# Barrier ids must agree across processes AND be unique per invocation (the
+# coordination service can reject a reused key).  A plain per-process counter
+# is only safe if every process makes exactly the same number of calls; a
+# skipped call on one host would silently pair MISMATCHED barriers and hang
+# peers for the full timeout (advisor r4).  Instead the id is derived from
+# data all processes agree on — a fingerprint of the global config grid —
+# plus a per-fingerprint sequence (so repeated sweeps of the same grid still
+# get distinct keys, under the much weaker requirement that processes run
+# identical-grid sweeps in the same order).  A genuinely skipped call now
+# leaves peers waiting on a key the skipper never touches: the barrier times
+# out with the offending sweep's fingerprint in the key instead of
+# mis-pairing two different sweeps' gathers.
+_barrier_seq_by_fp: dict = {}
+
+
+def _barrier_id(configs, n_runs: int) -> str:
+    import hashlib
+    import json
+
+    blob = json.dumps([sorted(c.items()) for c in configs],
+                      sort_keys=True, default=str) + f"|n_runs={n_runs}"
+    fp = hashlib.md5(blob.encode()).hexdigest()[:12]
+    seq = _barrier_seq_by_fp.get(fp, 0)
+    _barrier_seq_by_fp[fp] = seq + 1
+    return f"mmtpu_sweep_gather_{fp}_{seq}"
 
 
 def init_multihost(
@@ -164,7 +183,7 @@ def run_sweep_multihost(
     except Exception:  # pragma: no cover — private-API drift
         client = None
     if client is not None and P > 1:
-        client.wait_at_barrier(f"mmtpu_sweep_gather_{next(_barrier_seq)}",
+        client.wait_at_barrier(_barrier_id(configs, n_runs),
                                4 * 3600 * 1000)
 
     # global expanded order is config-major, run-minor (run_sweep's n_runs

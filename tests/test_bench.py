@@ -34,7 +34,10 @@ def test_bench_emits_structured_json_on_backend_outage():
     # the driver's schema essentials are present even in the failure record
     assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
     # the outage record carries the newest builder self-capture, clearly
-    # labeled as NOT a driver capture (docs/selfcaptures/)
-    sc = rec["last_builder_selfcapture"]
-    assert "NOT a driver capture" in sc["note"]
-    assert sc["record"]["value"] > 0
+    # labeled as NOT a driver capture — IF any exist in docs/selfcaptures/
+    # (don't hard-couple this resilience test to checked-in data artifacts,
+    # advisor r4)
+    sc = rec.get("last_builder_selfcapture")
+    if sc is not None:
+        assert "NOT a driver capture" in sc["note"]
+        assert sc["record"]["value"] > 0
