@@ -114,7 +114,7 @@ def is_stacked(params: Mapping) -> bool:
     return "w_mu" in params["heads"]
 
 
-def stack_decoder(params: Mapping):
+def stack_decoder(params: Mapping, pad_to: int = 0):
     """Per-head pytree → stacked layout: the 2·n_heads linear layers become
     ONE ``(D, ΣF_h)`` weight pair, so every step runs a single wide GEMM on
     the MXU instead of n_heads skinny ones, and the decoder optimizer state
@@ -128,14 +128,31 @@ def stack_decoder(params: Mapping):
 
     Works under a leading config axis (sweep-vmapped params): weights concat
     on the last axis.
+
+    ``pad_to > 0`` zero-pads the stacked feature axis to a multiple of
+    ``pad_to`` (the fused decoder-update kernel's F tile,
+    ``mmtpu.kernels.decoder_update``).  Zero-pad columns are inert: their
+    pre-activations are never sliced by any head, their gradients are
+    exactly zero, and a zero Adam/SGD column stays zero — so
+    :func:`unstack_decoder` (which slices only the true widths) recovers
+    the identical per-head pytree.
     """
     order = tuple(h for h in MMB2_HEADS if h in params["heads"])
     hs = params["heads"]
+
+    def cat(k):
+        out = jnp.concatenate([jnp.asarray(hs[h][k]) for h in order], axis=-1)
+        if pad_to:
+            pad = (-out.shape[-1]) % pad_to
+            if pad:
+                widths = [(0, 0)] * out.ndim
+                widths[-1] = (0, pad)
+                out = jnp.pad(out, widths)
+        return out
+
     stacked = {
-        "heads": {
-            k: jnp.concatenate([jnp.asarray(hs[h][k]) for h in order], axis=-1)
-            for k in ("w_mu", "b_mu", "w_log_sigma", "b_log_sigma")
-        },
+        "heads": {k: cat(k)
+                  for k in ("w_mu", "b_mu", "w_log_sigma", "b_log_sigma")},
         "norm": params["norm"],
     }
     return stacked, order

@@ -10,11 +10,15 @@ estimator.  mmtpu packages it as a real serving path:
   returns L2-normalized latent embeddings.
 - Optionally chains the sentiment head for end-to-end prediction serving.
 
-Measured on one v5e chip (through this environment's network-tunneled
-device, whose ~30 ms dispatch/transfer round-trip floors every request):
-33 ms / 64-utterance request, 48 ms / 686 utterances (≈14.4k utt/s) with
-device-resident features — vs 524 ms for the reference's torch path on CPU
-at batch 686.  On directly-attached hardware the compute itself is sub-ms.
+Measured on one v5e chip — UNIFIED METHODOLOGY (same definition in
+README.md and BASELINE.md): host-observed latency of one server call with
+device-resident features, best of 8 requests, through this environment's
+network-tunneled device whose ~30 ms dispatch/transfer round-trip floors
+every request: 33 ms / 64-utterance request, 48 ms / 686 utterances
+(≈14.4k utt/s) — vs 524 ms for the reference's torch path on CPU at batch
+686.  On directly-attached hardware the compute itself is sub-ms.
+``bench.py``'s ``serving_latency_s_686``/``_64`` fields capture exactly
+this measurement.
 """
 
 from __future__ import annotations

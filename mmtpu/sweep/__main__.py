@@ -52,6 +52,10 @@ def main(argv=None) -> int:
                              "on (default: auto — on for TPU backends)")
     parser.add_argument("--no_pallas", action="store_true",
                         help="force the fused kernel off")
+    parser.add_argument("--fused_dec", action="store_true",
+                        help="fused decoder-update Pallas kernel on the "
+                             "train fit (kernels/decoder_update.py) — "
+                             "opt-in pending the on-chip A/B")
     parser.add_argument("--exact_adam", action="store_true",
                         help="torch-exact dense Adam instead of the "
                              "epoch-level lazy-Adam fast path (float-"
@@ -169,6 +173,7 @@ def main(argv=None) -> int:
         lazy_adam=False if args.exact_adam else None,
         infer_batch_clamp=not args.no_infer_clamp,
         phase_timing=args.phase_timing,
+        fused_dec_update=args.fused_dec,
     )
     if args.multihost:
         from mmtpu.parallel.multihost import run_sweep_multihost

@@ -70,6 +70,11 @@ class SweepStatics:
     # splits are never touched (regrouping would change batch-norm
     # semantics — simplesif.py:607-610).
     infer_batch_clamp: bool = True
+    # Fused decoder-update Pallas kernel on the TRAIN fit
+    # (mmtpu/kernels/decoder_update.py; requires a static opt_kind).
+    # Default OFF pending the on-chip A/B (VERDICT r4 task 3) — enable via
+    # run_sweep(fused_dec_update=True) / `python -m mmtpu.sweep --fused_dec`.
+    fused_dec_update: bool = False
 
 
 def statics_from_configs(

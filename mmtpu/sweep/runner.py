@@ -163,6 +163,7 @@ def build_sweep_parts(statics: SweepStatics, labels, vocab, dataset_name: str,
         partition_fn=partition_fn,
         valid_every=valid_every,
         lazy_adam=statics.lazy_adam,
+        fused_dec_update=statics.fused_dec_update,
     )
     espec = E2EFitSpec(
         n_epochs_max=statics.n_epochs_max,
@@ -174,6 +175,7 @@ def build_sweep_parts(statics: SweepStatics, labels, vocab, dataset_name: str,
         partition_fn=partition_fn,
         valid_every=valid_every,
         lazy_adam=statics.lazy_adam,
+        fused_dec_update=statics.fused_dec_update,
     )
     ispec = LatentFitSpec(
         n_epochs_max=statics.n_epochs_max,
@@ -343,6 +345,7 @@ def run_sweep(
     lazy_adam: Optional[bool] = None,
     phase_timing: bool = False,
     infer_batch_clamp: bool = True,
+    fused_dec_update: bool = False,
 ) -> SweepResult:
     """Run every config of the grid in vmapped chunks.
 
@@ -426,6 +429,10 @@ def run_sweep(
         statics = _dc.replace(statics, lazy_adam=True)
     if not infer_batch_clamp:
         statics = _dc.replace(statics, infer_batch_clamp=False)
+    if fused_dec_update:
+        # fused decoder-update kernel (train fit only) — needs the static
+        # per-bucket optimizer kind the executor always uses
+        statics = _dc.replace(statics, fused_dec_update=True)
     if statics.pos_max > 0:
         if prep.pos_table is None:
             raise ValueError(

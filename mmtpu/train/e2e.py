@@ -52,6 +52,9 @@ class E2EFitSpec:
     # epoch-level lazy Adam (see LatentFitSpec.lazy_adam / optim.py) —
     # default off; the bf16 sweep fast path opts in
     lazy_adam: bool = False
+    # fused decoder update (see LatentFitSpec.fused_dec_update /
+    # mmtpu/kernels/decoder_update.py) — default off pending on-chip A/B
+    fused_dec_update: bool = False
 
     def latent_spec(self) -> LatentFitSpec:
         return LatentFitSpec(
@@ -68,6 +71,7 @@ class E2EFitSpec:
             batch_shard_axis=self.batch_shard_axis,
             stacked_heads=self.stacked_heads,
             lazy_adam=self.lazy_adam,
+            fused_dec_update=self.fused_dec_update,
         )
 
 
@@ -110,8 +114,11 @@ def fit_e2e(
     from mmtpu.models.decoder import is_stacked, stack_decoder
 
     was_stacked = is_stacked(decoder_params)
-    if spec.stacked_heads and not was_stacked:
-        decoder_params, _ = stack_decoder(decoder_params)
+    if (spec.stacked_heads or spec.fused_dec_update) and not was_stacked:
+        from mmtpu.kernels.decoder_update import _F_TILE
+
+        decoder_params, _ = stack_decoder(
+            decoder_params, pad_to=_F_TILE if spec.fused_dec_update else 0)
 
     embed = jnp.asarray(init_embed, jnp.float32)
     e_opt = init_opt_state(embed, spec.opt_kind)
@@ -243,9 +250,34 @@ def fit_e2e(
                     jax.lax.dynamic_slice_in_dim(embed, start, bsz)
                     if perm_path else embed
                 )
-            loss, (ge, gd, gs) = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
-                embed_arg, dec, sen
-            )
+            if spec.fused_dec_update:
+                from mmtpu.train.fused import fused_joint_step
+
+                def senti_term(sen_p, neg, lat):
+                    # lw·(−log p) + (1−lw)·L1, per sample (simplesif.py:786)
+                    pred = apply_sentiment(sen_p, lat)
+                    err = jnp.abs(pred - y)
+                    if senti_mask is not None:
+                        m_ = senti_mask[j]
+                        err = err * (m_ if err.ndim == m_.ndim else m_[..., None])
+                    if err.ndim > 1:
+                        err = jnp.mean(err, axis=tuple(range(1, err.ndim)))
+                    lw = hp["likelihood_weight"]
+                    return lw * neg + (1.0 - lw) * err
+
+                # e2e freeze semantics: train_heads gates the generator
+                # heads only; the norm affine stays trainable
+                # (simplesif.py:689-691, models.py:170-178)
+                hgate = hp["train_heads"] if "train_heads" in hp else 1.0
+                loss, ge, gs, dec2, d_opt2 = fused_joint_step(
+                    dec, d_opt, embed_arg, b, vocab_emb, hp, lspec,
+                    row_valid, active, heads_gate=hgate, norm_gate=1.0,
+                    extra_params=sen, combine=senti_term,
+                )
+                gd = None
+            else:
+                loss, (ge, gd, gs) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1, 2))(embed_arg, dec, sen)
             emb_ys = None
             if sparse_sgd:
                 act = jnp.asarray(active, jnp.float32)
@@ -272,16 +304,18 @@ def fit_e2e(
             # adds all gen_model.parameters() to the optimizer but
             # freeze_weights() detaches just the embed2out linears
             # (simplesif.py:689-691, models.py:170-178)
-            dec_gates = None
-            if "train_heads" in hp:
-                th = hp["train_heads"]
-                dec_gates = {
-                    "heads": jax.tree.map(lambda _: th, dec["heads"]),
-                    "norm": jax.tree.map(lambda _: jnp.float32(1.0), dec["norm"]),
-                }
-            dec2, d_opt2 = opt_update(dec, gd, d_opt, hp["lr"], hp["opt_code"],
-                                      active, kind=spec.opt_kind,
-                                      gates=dec_gates)
+            if not spec.fused_dec_update:
+                dec_gates = None
+                if "train_heads" in hp:
+                    th = hp["train_heads"]
+                    dec_gates = {
+                        "heads": jax.tree.map(lambda _: th, dec["heads"]),
+                        "norm": jax.tree.map(lambda _: jnp.float32(1.0),
+                                             dec["norm"]),
+                    }
+                dec2, d_opt2 = opt_update(dec, gd, d_opt, hp["lr"],
+                                          hp["opt_code"], active,
+                                          kind=spec.opt_kind, gates=dec_gates)
             sen2, s_opt2 = opt_update(sen, gs, s_opt, hp["lr"], hp["opt_code"],
                                       active, kind=spec.opt_kind)
             ys = loss if emb_ys is None else (loss,) + emb_ys

@@ -120,6 +120,16 @@ class LatentFitSpec:
     # the parity path keeps torch-exact dense Adam; the bf16 sweep fast
     # path opts in (SweepStatics.lazy_adam).
     lazy_adam: bool = False
+    # Fused decoder update (mmtpu/kernels/decoder_update.py): the head
+    # weights travel STACKED (+ zero-padded to the kernel's F tile) and each
+    # step's weight-grad GEMM + Adam/SGD update + latent cotangent run in
+    # one Pallas pass per leaf — one contiguous HBM stream instead of ~36
+    # skinny per-head fusions (docs/DESIGN.md "Quantified floor": the
+    # decoder update is the Adam chunk's bandwidth floor).  Exact same
+    # update law; float deltas are matmul-accumulation-order only
+    # (tests/test_fused_update.py).  Requires a static opt_kind; DEFAULT OFF
+    # pending the on-chip A/B (ship gate: VERDICT r4 task 3).
+    fused_dec_update: bool = False
 
 
 def _word_logprob(spec: LatentFitSpec, latents, vocab_emb, b):
@@ -238,7 +248,9 @@ def joint_neg_log_prob_per_sample(
             head_lp.append(_head_log_prob(
                 h, mu_all[:, ofs:ofs + f], sigma_all[:, ofs:ofs + f], b))
             ofs += f
-        assert ofs == mu_all.shape[-1], (ofs, mu_all.shape)
+        # == without padding; < when the stacked table carries the fused
+        # kernel's zero-pad tail (stack_decoder(pad_to=...))
+        assert ofs <= mu_all.shape[-1], (ofs, mu_all.shape)
     else:
         out = apply_decoder(
             decoder_params, lat, hp["norm_code"], batch_weights=row_valid,
@@ -402,8 +414,12 @@ def init_fit_carry(rng, init_embed, decoder_params, spec: LatentFitSpec):
     (restored to the per-head pytree by :func:`finish_fit_decoder`)."""
     from mmtpu.train.optim import init_opt_state
 
-    if spec.stacked_heads and not is_stacked(decoder_params):
-        decoder_params, _ = stack_decoder(decoder_params)
+    if ((spec.stacked_heads or spec.fused_dec_update)
+            and not is_stacked(decoder_params)):
+        from mmtpu.kernels.decoder_update import _F_TILE
+
+        decoder_params, _ = stack_decoder(
+            decoder_params, pad_to=_F_TILE if spec.fused_dec_update else 0)
     embed = jnp.asarray(init_embed, jnp.float32)
     embed_opt = init_opt_state(embed, spec.opt_kind)
     dec_opt = (
@@ -415,8 +431,10 @@ def init_fit_carry(rng, init_embed, decoder_params, spec: LatentFitSpec):
 
 def finish_fit_decoder(dec, data, spec: LatentFitSpec, was_stacked: bool):
     """Restore the per-head decoder pytree after a fit whose carry used the
-    stacked layout (no-op when the caller already passed stacked params)."""
-    if not (spec.stacked_heads and is_stacked(dec)) or was_stacked:
+    stacked layout (no-op when the caller already passed stacked params).
+    Slicing the true head widths also drops the fused path's zero-pad tail."""
+    stacked_fit = spec.stacked_heads or spec.fused_dec_update
+    if not (stacked_fit and is_stacked(dec)) or was_stacked:
         return dec
     heads = MMB1_HEADS if spec.unimodal else MMB2_HEADS
     return unstack_decoder(dec, [(h, head_width(h, data)) for h in heads])
@@ -573,7 +591,17 @@ def _make_epoch_body(data, vocab_emb, hp, spec: LatentFitSpec, n,
                     jax.lax.dynamic_slice_in_dim(embed, start, bsz)
                     if perm_path else embed
                 )
-            if spec.train_decoder:
+            if spec.train_decoder and spec.fused_dec_update:
+                from mmtpu.train.fused import fused_joint_step
+
+                # plain-fit freeze semantics: train_dec gates the WHOLE
+                # decoder, norm included (simplesif.py:55-56)
+                gate = hp["train_dec"] if "train_dec" in hp else 1.0
+                loss, g_embed, _, dec2, d_opt2 = fused_joint_step(
+                    dec, d_opt, embed_arg, b, vocab_emb, hp, spec,
+                    row_valid, active, heads_gate=gate, norm_gate=gate,
+                )
+            elif spec.train_decoder:
                 loss, (g_embed, g_dec) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
                     embed_arg, dec
                 )
