@@ -42,6 +42,41 @@ def gaussian_inverse_weights(
     return q_mu, q_sigma
 
 
+def seq_summed_inverse_weights(
+    s0: jax.Array, s1: jax.Array, s2: jax.Array,
+    b_mu: jax.Array, b_log_sigma: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sequence-summed inverse weights from Gaussian sufficient statistics.
+
+    The closed-form estimator (``sif2.py:164-208``) only ever consumes the
+    per-element weights :func:`gaussian_inverse_weights` summed over the
+    sequence axis — and those sums are linear/quadratic in the observations,
+    so the suff-stats triplet (``s0 = Σ_l m``, ``s1 = Σ_l m·x``,
+    ``s2 = Σ_l m·x²`` — :func:`mmtpu.ops.gaussian.gaussian_suff_stats`)
+    determines them exactly::
+
+        Σ_l q_mu    = (s1 − s0·b_mu) / exp(2 b_logσ)
+        Σ_l q_sigma = (s2 − 2 b_mu s1 + s0 b_mu²) / exp(2 b_logσ) − s0
+
+    With an all-ones mask this is bit-for-the-same-math as summing
+    :func:`gaussian_inverse_weights` over ``l`` (the reference faithfully
+    ignores the mask; masked statistics additionally exclude padding, which
+    for the warm-start use is the better estimate — documented deviation).
+
+    Args:
+        s0, s1, s2: ``(B, F)`` (or broadcastable, e.g. shared ``(F,)``
+            positional-table statistics).
+        b_mu, b_log_sigma: ``(F,)`` head bias slices.
+
+    Returns:
+        ``(Σ_l q_mu, Σ_l q_sigma)``, shaped like the broadcast of the inputs.
+    """
+    inv_var = jnp.exp(-2.0 * b_log_sigma)
+    sum_q_mu = (s1 - s0 * b_mu) * inv_var
+    sum_q_sigma = (s2 - 2.0 * b_mu * s1 + s0 * jnp.square(b_mu)) * inv_var - s0
+    return sum_q_mu, sum_q_sigma
+
+
 def closed_form_latents(
     data: Mapping[str, jax.Array],
     heads: Mapping[str, Mapping[str, jax.Array]],

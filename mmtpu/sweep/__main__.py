@@ -71,6 +71,17 @@ def main(argv=None) -> int:
                              "single-batch inference fits instead of "
                              "shrinking the static batch to the split's row "
                              "count (float-reduction-order deltas only)")
+    parser.add_argument("--infer_warm_start", action="store_true",
+                        help="initialize valid/test inference fits from the "
+                             "trained decoder's closed-form latent estimate "
+                             "(train/warm_start.py) instead of the SIF "
+                             "embedding — opt-in, NOT reference-parity; "
+                             "pair with --infer_epochs")
+    parser.add_argument("--infer_epochs", type=int, default=0,
+                        help="cap inference-fit epochs (0 = the config's "
+                             "full n_epochs, reference semantics) — shrinks "
+                             "the inference scan length; opt-in, NOT "
+                             "reference-parity")
     parser.add_argument("--top_k_artifacts", type=int, default=0,
                         help="after the sweep, re-run the top-K configs "
                              "through the full runner to persist reference-"
@@ -174,6 +185,8 @@ def main(argv=None) -> int:
         infer_batch_clamp=not args.no_infer_clamp,
         phase_timing=args.phase_timing,
         fused_dec_update=args.fused_dec,
+        infer_warm_start=args.infer_warm_start,
+        infer_epochs_cap=args.infer_epochs,
     )
     if args.multihost:
         from mmtpu.parallel.multihost import run_sweep_multihost

@@ -75,6 +75,17 @@ class SweepStatics:
     # Default OFF pending the on-chip A/B (VERDICT r4 task 3) — enable via
     # run_sweep(fused_dec_update=True) / `python -m mmtpu.sweep --fused_dec`.
     fused_dec_update: bool = False
+    # Closed-form warm start for the valid/test inference fits
+    # (mmtpu/train/warm_start.py): initialize from the trained decoder's
+    # closed-form latent estimate (sif2.py:164-208 semantics) instead of the
+    # SIF embedding (simplesif.py:607-610).  Changes the optimization
+    # trajectory (NOT reference-parity) — opt-in, default OFF; pair with
+    # infer_epochs_cap to actually cut inference compute.
+    infer_warm_start: bool = False
+    # Cap the inference fits' epoch count (0 = reference semantics: the
+    # config's full n_epochs).  Shrinks the inference scan length itself, so
+    # the compute saving is real; opt-in, NOT reference-parity.
+    infer_epochs_cap: int = 0
 
 
 def statics_from_configs(

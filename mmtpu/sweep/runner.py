@@ -177,8 +177,13 @@ def build_sweep_parts(statics: SweepStatics, labels, vocab, dataset_name: str,
         lazy_adam=statics.lazy_adam,
         fused_dec_update=statics.fused_dec_update,
     )
+    infer_ne_max = statics.n_epochs_max
+    if statics.infer_epochs_cap:
+        # the cap shrinks the inference scan itself — real compute saving,
+        # opt-in non-parity (SweepStatics.infer_epochs_cap)
+        infer_ne_max = min(infer_ne_max, statics.infer_epochs_cap)
     ispec = LatentFitSpec(
-        n_epochs_max=statics.n_epochs_max,
+        n_epochs_max=infer_ne_max,
         batch_size=statics.batch_size * 8,
         train_decoder=False,
         unimodal=statics.unimodal,
@@ -250,7 +255,16 @@ def build_sweep_parts(statics: SweepStatics, labels, vocab, dataset_name: str,
         return dataclasses.replace(ispec, batch_size=eff)
 
     def infer(rng, init_e, dec, hp, d):
-        e, _, _ = fit_latents(rng, init_e, dec, d, vocab, hp,
+        if statics.infer_warm_start:
+            from mmtpu.train.warm_start import closed_form_latents_from_stats
+
+            init_e = closed_form_latents_from_stats(
+                dec, d, vocab, unimodal=statics.unimodal)
+        ihp = hp
+        if statics.infer_epochs_cap:
+            ihp = dict(hp, n_epochs=jnp.minimum(
+                hp["n_epochs"], statics.infer_epochs_cap))
+        e, _, _ = fit_latents(rng, init_e, dec, d, vocab, ihp,
                               _ispec_for(init_e.shape[0]))
         return e
 
@@ -346,6 +360,8 @@ def run_sweep(
     phase_timing: bool = False,
     infer_batch_clamp: bool = True,
     fused_dec_update: bool = False,
+    infer_warm_start: bool = False,
+    infer_epochs_cap: int = 0,
 ) -> SweepResult:
     """Run every config of the grid in vmapped chunks.
 
@@ -397,6 +413,14 @@ def run_sweep(
             to the split's row count (see SweepStatics.infer_batch_clamp);
             default ON — float-reduction-order deltas only.  Pass False to
             keep the reference's fixed batch_size*8.
+        infer_warm_start: initialize valid/test inference fits from the
+            trained decoder's closed-form latent estimate
+            (mmtpu/train/warm_start.py) instead of the SIF embedding.
+            Opt-in, NOT reference-parity (different init → different
+            trajectory); pair with infer_epochs_cap for the compute win.
+        infer_epochs_cap: cap inference-fit epochs (0 = the config's full
+            n_epochs, reference semantics — simplesif.py:607-610).  Shrinks
+            the inference scan length itself.  Opt-in, NOT reference-parity.
     """
     import dataclasses as _dc
 
@@ -433,6 +457,10 @@ def run_sweep(
         # fused decoder-update kernel (train fit only) — needs the static
         # per-bucket optimizer kind the executor always uses
         statics = _dc.replace(statics, fused_dec_update=True)
+    if infer_warm_start:
+        statics = _dc.replace(statics, infer_warm_start=True)
+    if infer_epochs_cap:
+        statics = _dc.replace(statics, infer_epochs_cap=int(infer_epochs_cap))
     if statics.pos_max > 0:
         if prep.pos_table is None:
             raise ValueError(
@@ -887,6 +915,9 @@ def run_sweep(
                 lazy_adam=statics.lazy_adam,  # keep --exact_adam exact
                 phase_timing=phase_timing,
                 infer_batch_clamp=statics.infer_batch_clamp,
+                fused_dec_update=statics.fused_dec_update,
+                infer_warm_start=statics.infer_warm_start,
+                infer_epochs_cap=statics.infer_epochs_cap,
             )
 
         pending = (positions, out, chunk_id, wi, kind)
@@ -910,6 +941,9 @@ def run_sweep(
                 lazy_adam=statics.lazy_adam,  # keep --exact_adam exact
                 phase_timing=phase_timing,
                 infer_batch_clamp=statics.infer_batch_clamp,
+                fused_dec_update=statics.fused_dec_update,
+                infer_warm_start=statics.infer_warm_start,
+                infer_epochs_cap=statics.infer_epochs_cap,
             )
 
     return SweepResult(

@@ -554,6 +554,11 @@ class TestRetryKwargs:
         assert retry_kwargs, "width-halving retry never happened"
         assert retry_kwargs["lazy_adam"] is False
         assert retry_kwargs["phase_timing"] is False
+        # every behavior kwarg must be explicitly forwarded (r5: the retry
+        # paths silently dropped fused_dec_update)
+        assert retry_kwargs["fused_dec_update"] is False
+        assert retry_kwargs["infer_warm_start"] is False
+        assert retry_kwargs["infer_epochs_cap"] == 0
         # the retried result equals a clean exact-Adam run at the new width
         monkeypatch.setattr(R, "build_sweep_fn", orig_build)
         ref = orig_run(cfgs, prep, batch_size=8, chunk_size=2, verbose=False,
