@@ -140,6 +140,13 @@ class TestSweepWarmStart:
         np.testing.assert_allclose(warm.final_train_loss,
                                    base.final_train_loss, rtol=1e-6)
 
+    def test_unimodal_warm_start_finite(self):
+        """MMB1 (audio/visual heads only) exercises the head-subset path."""
+        warm = self._run(unimodal=True, infer_warm_start=True,
+                         infer_epochs_cap=2)
+        for k, v in warm.metrics.items():
+            assert np.isfinite(np.asarray(v)).all(), k
+
     def test_cap_noop_when_above_n_epochs(self):
         """A cap >= every config's n_epochs changes nothing (the clamp and
         the scan-length cut are both inert)."""
