@@ -9,6 +9,12 @@ estimator.  mmtpu packages it as a real serving path:
   recompilation at request time), pads/bucketizes incoming requests, and
   returns L2-normalized latent embeddings.
 - Optionally chains the sentiment head for end-to-end prediction serving.
+- Requests may arrive pre-compressed to Gaussian sufficient statistics
+  (:func:`stats_request`, ~L-fold smaller payloads): the estimator only
+  ever consumes sequence-summed inverse weights, which the statistics
+  determine exactly (``mmtpu.ops.closed_form.seq_summed_inverse_weights``).
+  Unmasked by default — bit-matching the raw estimator, which faithfully
+  ignores masks (``sif2.py:103-114``).
 
 Measured on one v5e chip — UNIFIED METHODOLOGY (same definition in
 README.md and BASELINE.md): host-observed latency of one server call with
@@ -54,6 +60,49 @@ def assemble_head_data(
     return out
 
 
+def stats_request(
+    batch: Mapping[str, np.ndarray],
+    masks: Optional[Mapping[str, np.ndarray]] = None,
+) -> Dict[str, np.ndarray]:
+    """Compress a raw serving request to sufficient statistics, host-side.
+
+    Replaces each ``(B, L, F)`` Gaussian stream with its ``(B, F)``
+    ``_s0/_s1/_s2`` triplet — an ~L/3-fold payload reduction (MOSI L=20:
+    ~6.7x; POM L=1357: ~450x) that matters whenever requests cross a
+    network link to the accelerator host.  The word-likelihood inputs
+    (``text_ids``/``text`` + ``text_weights``) pass through.
+
+    ``masks=None`` (default) sums ALL timesteps — exactly what the raw
+    estimator does with its ignored mask argument (``sif2.py:103-114``), so
+    the server's stats path returns bit-equal-math results to the raw path.
+    Pass per-stream masks to exclude padding instead (a deliberate,
+    documented deviation — the better estimate, not the reference one).
+    """
+    out: Dict[str, np.ndarray] = {
+        k: np.asarray(batch[k])
+        for k in ("text_ids", "text", "text_weights") if k in batch
+    }
+    for stream in ("text_gauss", "audio", "visual"):
+        x = np.asarray(batch[stream])
+        m = None if masks is None else masks.get(stream)
+        if m is None:
+            s0 = np.full(x.shape[:1] + x.shape[2:], x.shape[1], np.float32)
+            xd = x.astype(np.float64)
+            s1 = xd.sum(1).astype(np.float32)
+            s2 = (xd * xd).sum(1).astype(np.float32)
+        else:
+            m3 = np.asarray(m)
+            if m3.ndim == 2:
+                m3 = m3[:, :, None]
+            mv = (m3 * x).astype(np.float64)
+            s0 = np.broadcast_to(m3, x.shape).sum(1).astype(np.float32)
+            s1 = mv.sum(1).astype(np.float32)
+            s2 = (mv * x).sum(1).astype(np.float32)
+        out[f"{stream}_s0"], out[f"{stream}_s1"], out[f"{stream}_s2"] = \
+            s0, s1, s2
+    return out
+
+
 class ClosedFormServer:
     """Batch-serving wrapper around the closed-form latent estimator.
 
@@ -87,30 +136,49 @@ class ClosedFormServer:
             None if word_embeddings is None else jnp.asarray(word_embeddings)
         )
 
-        def run(streams):
-            # everything — gather, concatenation, estimation, prediction — is
-            # ONE compiled program: a single device dispatch per request
-            data = assemble_head_data(streams, self.heads)
-            if "text" in streams:
-                sent = streams["text"]
-            else:
-                if self._vocab is None:
-                    raise ValueError(
-                        "request carries text_ids but the server was built "
-                        "without word_embeddings — pass the (V, D) vocab "
-                        "table at construction, or send pre-gathered 'text'"
-                    )
-                sent = self._vocab[streams["text_ids"]]
-            lat = closed_form_latents(
-                data, self._head_params, streams["text_weights"], sent
-            )
+        def chain(lat):
             if self._senti is not None:
                 from mmtpu.models.sentiment import apply_sentiment
 
                 return lat, apply_sentiment(self._senti, lat)
             return lat, None
 
+        def sent_of(streams):
+            if "text" in streams:
+                return streams["text"]
+            if self._vocab is None:
+                raise ValueError(
+                    "request carries text_ids but the server was built "
+                    "without word_embeddings — pass the (V, D) vocab "
+                    "table at construction, or send pre-gathered 'text'"
+                )
+            return self._vocab[streams["text_ids"]]
+
+        def run(streams):
+            # everything — gather, concatenation, estimation, prediction — is
+            # ONE compiled program: a single device dispatch per request
+            data = assemble_head_data(streams, self.heads)
+            lat = closed_form_latents(
+                data, self._head_params, streams["text_weights"],
+                sent_of(streams)
+            )
+            return chain(lat)
+
+        def run_stats(req):
+            # suff-stats request (stats_request): same estimate, ~L-fold
+            # smaller payload — the sums the estimator needs are determined
+            # exactly by the statistics
+            from mmtpu.train.warm_start import closed_form_latents_from_stats
+
+            sent_of(req)  # surface the missing-vocab error before tracing
+            lat = closed_form_latents_from_stats(
+                {"heads": dict(self._head_params)}, req, self._vocab,
+                heads=self.heads,
+            )
+            return chain(lat)
+
         self._fn = jax.jit(run)
+        self._fn_stats = jax.jit(run_stats)
 
     def warmup(self, example: Mapping[str, np.ndarray]) -> None:
         """Pre-compile every ladder size from one example request."""
@@ -127,12 +195,16 @@ class ClosedFormServer:
                 ``visual`` (B, L, V), ``text_weights`` (B, Lt), and either
                 ``text_ids`` (B, Lt) ints (needs ``word_embeddings`` at
                 construction) or pre-gathered ``text`` (B, Lt, D) — the
-                prepared-data convention.
+                prepared-data convention.  Alternatively a compressed
+                request from :func:`stats_request` (``<stream>_s0/s1/s2``
+                (B, F) triplets instead of the raw streams) — detected by
+                the ``audio_s0`` key, served by a separately-compiled
+                program on the same padding ladder.
 
         Returns:
             ``(latents (B, D), predictions or None)`` with padding stripped.
         """
-        b = batch["audio"].shape[0]
+        b = batch["audio_s0" if "audio_s0" in batch else "audio"].shape[0]
         if _force_batch is not None:
             target = _force_batch
         else:
@@ -151,6 +223,7 @@ class ClosedFormServer:
             return np.pad(x, widths)
 
         padded = {k: pad(v) for k, v in batch.items()}
-        lat, pred = self._fn(padded)
+        fn = self._fn_stats if "audio_s0" in batch else self._fn
+        lat, pred = fn(padded)
         lat = np.asarray(lat)[:b]
         return lat, (None if pred is None else np.asarray(pred)[:b])

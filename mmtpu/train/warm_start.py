@@ -43,6 +43,7 @@ def closed_form_latents_from_stats(
     data: Mapping[str, jax.Array],
     vocab_emb: jax.Array,
     unimodal: bool = False,
+    heads=None,
 ) -> jax.Array:
     """Closed-form latent estimate on the sweep's suff-stats data layout.
 
@@ -61,11 +62,15 @@ def closed_form_latents_from_stats(
             ``train_view`` layout).
         vocab_emb: ``(V, D)`` word-vector table.
         unimodal: MMB1 (audio/visual heads only) vs MMB2.
+        heads: explicit head subset (overrides ``unimodal``) — the serving
+            wrapper's head-selection contract (``mmtpu.serve``).
 
     Returns:
         ``(B, D)`` L2-normalized latent estimates, float32.
     """
-    heads = MMB1_HEADS if unimodal else MMB2_HEADS
+    if heads is None:
+        heads = MMB1_HEADS if unimodal else MMB2_HEADS
+    heads = tuple(heads)
     w = data["text_weights"]  # (B, L), zero at padding (data.pipeline)
     total = jnp.sum(w, axis=-1)  # (B,)
     per_head = {}
@@ -91,7 +96,8 @@ def closed_form_latents_from_stats(
             ofs += f
         per_head[h] = sums
 
-    inv_total = 1.0 / total[:, None]  # (B, 1)
+    # all-zero-stats rows (serving-ladder padding) divide to 0, not nan/inf
+    inv_total = 1.0 / jnp.where(total == 0.0, 1.0, total)[:, None]  # (B, 1)
 
     sent = data["text"] if "text" in data else vocab_emb[data["text_ids"]]
     cs = jnp.einsum("bl,bld->bd", w, sent,
@@ -113,4 +119,4 @@ def closed_form_latents_from_stats(
             )
     cs = cs * inv_total
     norm = jnp.linalg.norm(cs, axis=-1, keepdims=True)
-    return (cs / norm).astype(jnp.float32)
+    return (cs / jnp.where(norm == 0.0, 1.0, norm)).astype(jnp.float32)

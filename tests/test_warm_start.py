@@ -157,6 +157,82 @@ class TestSweepWarmStart:
                                        rtol=1e-6, atol=1e-7, err_msg=k)
 
 
+class TestStatsServing:
+    """stats_request + ClosedFormServer's suff-stats path: same estimate,
+    ~L-fold smaller request payloads (mmtpu/serve.py)."""
+
+    def _server_and_req(self, senti=False, vocab=True):
+        from mmtpu.models.sentiment import init_sentiment
+        from mmtpu.serve import ClosedFormServer
+
+        we, ids, w_tok, audio, visual, tg = _manual(B=6, L=9)
+        dec = init_decoder(jax.random.key(2), we.shape[1], audio.shape[-1],
+                           visual.shape[-1], unimodal=False,
+                           text_dim=tg.shape[-1])
+        server = ClosedFormServer(
+            dec, batch_sizes=(4, 8),
+            sentiment_params=(init_sentiment(jax.random.key(3), we.shape[1],
+                                             8, 1) if senti else None),
+            word_embeddings=we if vocab else None,
+        )
+        req = {"text_ids": ids, "text_weights": w_tok, "text_gauss": tg,
+               "audio": audio, "visual": visual}
+        return server, req
+
+    def test_stats_request_matches_raw_path(self):
+        from mmtpu.serve import stats_request
+
+        server, req = self._server_and_req(senti=True)
+        lat_raw, pred_raw = server(req)
+        sreq = stats_request(req)
+        lat_st, pred_st = server(sreq)
+        np.testing.assert_allclose(lat_st, lat_raw, rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(pred_st, pred_raw, rtol=2e-3, atol=2e-4)
+        # the compression claim: stats payload is several-fold smaller
+        raw_b = sum(np.asarray(v).nbytes for v in req.values())
+        st_b = sum(np.asarray(v).nbytes for v in sreq.values())
+        assert st_b * 2 < raw_b, (st_b, raw_b)
+
+    def test_masked_stats_request_equals_truncated(self):
+        from mmtpu.serve import stats_request
+
+        server, req = self._server_and_req()
+        Lv = 6
+        mask = np.zeros(req["text_ids"].shape, np.float32)
+        mask[:, :Lv] = 1.0
+        req["text_weights"][:, Lv:] = 0.0
+        for k in ("text_gauss", "audio", "visual"):
+            req[k][:, Lv:] = 1e3  # poison the padded tail
+        masks = {k: mask for k in ("text_gauss", "audio", "visual")}
+        lat_m, _ = server(stats_request(req, masks=masks))
+        trunc = {k: (v[:, :Lv] if k != "text_ids" else v)
+                 for k, v in req.items()}
+        # text term: padded token weights are zero, so full-length ids are
+        # equivalent; truncate the Gaussian streams + weights only
+        lat_t, _ = server({"text_ids": req["text_ids"][:, :Lv],
+                           "text_weights": req["text_weights"][:, :Lv],
+                           "text_gauss": trunc["text_gauss"],
+                           "audio": trunc["audio"],
+                           "visual": trunc["visual"]})
+        np.testing.assert_allclose(lat_m, lat_t, rtol=2e-4, atol=2e-5)
+
+    def test_stats_ladder_padding_invariant(self):
+        from mmtpu.serve import stats_request
+
+        server, req = self._server_and_req()
+        sreq = stats_request(req)
+        full, _ = server(sreq)  # 6 rows → pads to 8
+        part, _ = server({k: v[:3] for k, v in sreq.items()})  # pads to 4
+        np.testing.assert_allclose(part, full[:3], atol=1e-5)
+
+    def test_stats_request_needs_vocab_or_text(self):
+        from mmtpu.serve import stats_request
+
+        server, req = self._server_and_req(vocab=False)
+        with pytest.raises(ValueError, match="word_embeddings"):
+            server(stats_request(req))
+
+
 def test_sweep_cli_warm_start_flags(tmp_path, monkeypatch):
     """`python -m mmtpu.sweep --infer_warm_start --infer_epochs 2` reaches
     run_sweep and completes."""
