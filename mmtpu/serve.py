@@ -67,8 +67,9 @@ def stats_request(
     """Compress a raw serving request to sufficient statistics, host-side.
 
     Replaces each ``(B, L, F)`` Gaussian stream with its ``(B, F)``
-    ``_s0/_s1/_s2`` triplet — an ~L/3-fold payload reduction (MOSI L=20:
-    ~6.7x; POM L=1357: ~450x) that matters whenever requests cross a
+    ``_s0/_s1/_s2`` triplet — an ~L/3-fold payload reduction on those
+    streams (MOSI L=20: ~6.7x; POM's long stream is the token ids, which
+    already ship as compact ints) that matters whenever requests cross a
     network link to the accelerator host.  The word-likelihood inputs
     (``text_ids``/``text`` + ``text_weights``) pass through.
 
