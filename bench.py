@@ -534,25 +534,31 @@ def _serving_latency() -> dict:
     _log(f"[bench] serving: {t686 * 1e3:.1f} ms / 686-utt request "
          f"({686 / t686:.0f} utt/s), {t64 * 1e3:.1f} ms / 64-utt request")
 
-    # host-resident requests: raw vs suff-stats-compressed payloads — the
-    # production client story, where the request crosses the wire to the
-    # accelerator host (stats_request: ~L/3-fold smaller — serve.py)
-    from mmtpu.serve import stats_request
-
-    req_host = {k: np.asarray(te[k]) for k in keys}
-    sreq_host = stats_request(req_host)
-    server.warmup({k: v[:2] for k, v in sreq_host.items()})
-    th_raw = best_of(req_host)
-    th_stats = best_of(sreq_host)
-    _log(f"[bench] serving host-resident: raw {th_raw * 1e3:.1f} ms, "
-         f"stats-compressed {th_stats * 1e3:.1f} ms / 686-utt request")
-    return {
+    out = {
         "serving_latency_s_686": round(t686, 4),
         "serving_latency_s_64": round(t64, 4),
         "serving_utt_per_s": round(686 / t686, 1),
-        "serving_latency_s_686_host": round(th_raw, 4),
-        "serving_latency_s_686_stats": round(th_stats, 4),
     }
+
+    # host-resident requests: raw vs suff-stats-compressed payloads — the
+    # production client story, where the request crosses the wire to the
+    # accelerator host (stats_request: ~L/3-fold smaller — serve.py).
+    # Failure-isolated so a stats-path problem can't lose the raw fields.
+    try:
+        from mmtpu.serve import stats_request
+
+        req_host = {k: np.asarray(te[k]) for k in keys}
+        sreq_host = stats_request(req_host)
+        server.warmup({k: v[:2] for k, v in sreq_host.items()})
+        th_raw = best_of(req_host)
+        th_stats = best_of(sreq_host)
+        _log(f"[bench] serving host-resident: raw {th_raw * 1e3:.1f} ms, "
+             f"stats-compressed {th_stats * 1e3:.1f} ms / 686-utt request")
+        out["serving_latency_s_686_host"] = round(th_raw, 4)
+        out["serving_latency_s_686_stats"] = round(th_stats, 4)
+    except Exception as e:
+        out["serving_stats_error"] = repr(e)[:300]
+    return out
 
 
 def _sweep_rate(use_pallas=None, record=None) -> dict:
