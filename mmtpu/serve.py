@@ -20,11 +20,14 @@ Measured on one v5e chip — UNIFIED METHODOLOGY (same definition in
 README.md and BASELINE.md): host-observed latency of one server call with
 device-resident features, best of 8 requests, through this environment's
 network-tunneled device whose ~30 ms dispatch/transfer round-trip floors
-every request: 33 ms / 64-utterance request, 48 ms / 686 utterances
-(≈14.4k utt/s) — vs 524 ms for the reference's torch path on CPU at batch
-686.  On directly-attached hardware the compute itself is sub-ms.
-``bench.py``'s ``serving_latency_s_686``/``_64`` fields capture exactly
-this measurement.
+every request: **32.3 ms / 64-utterance request, 50.9 ms / 686 utterances
+(≈13.5k utt/s)** — vs 524 ms for the reference's torch path on CPU at
+batch 686.  On directly-attached hardware the compute itself is sub-ms.
+Host-resident requests (features cross the tunnel per call): raw 431.5 ms
+vs suff-stats-compressed 108.1 ms at batch 686 — the compression is a 4×
+end-to-end win when the payload rides the wire.  Artifact:
+``bench.py``'s ``serving_latency_s_686``/``_64``/``_host``/``_stats``
+fields (captured 2026-08-18, ``docs/selfcaptures/bench_2026-08-18_r5.json``).
 """
 
 from __future__ import annotations

@@ -66,11 +66,16 @@ def main(argv=None) -> int:
                              "programs (train / valid fit / test fit / "
                              "sentiment / metrics) and record per-phase "
                              "device seconds in the summary's chunk stats")
+    parser.add_argument("--infer_clamp", action="store_true",
+                        help="shrink single-batch inference fits' static "
+                             "batch to the split's row count (float-"
+                             "reduction-order deltas only) — default OFF "
+                             "since the round-5 on-chip A/B measured it "
+                             "0.92x (docs/measurements/r5/clamp.log)")
     parser.add_argument("--no_infer_clamp", action="store_true",
-                        help="keep the reference's fixed batch_size*8 for "
-                             "single-batch inference fits instead of "
-                             "shrinking the static batch to the split's row "
-                             "count (float-reduction-order deltas only)")
+                        help="(default since round 5; kept for "
+                             "compatibility) keep the reference's fixed "
+                             "batch_size*8 for single-batch inference fits")
     parser.add_argument("--infer_warm_start", action="store_true",
                         help="initialize valid/test inference fits from the "
                              "trained decoder's closed-form latent estimate "
@@ -182,7 +187,7 @@ def main(argv=None) -> int:
         senti_mask=mask,
         validation_curve=args.validation_curve,
         lazy_adam=False if args.exact_adam else None,
-        infer_batch_clamp=not args.no_infer_clamp,
+        infer_batch_clamp=args.infer_clamp and not args.no_infer_clamp,
         phase_timing=args.phase_timing,
         fused_dec_update=args.fused_dec,
         infer_warm_start=args.infer_warm_start,

@@ -69,7 +69,12 @@ class SweepStatics:
     # only deltas are float reduction order (tested ~1e-6).  Multi-batch
     # splits are never touched (regrouping would change batch-norm
     # semantics — simplesif.py:607-610).
-    infer_batch_clamp: bool = True
+    # Default OFF: the on-chip A/B (docs/measurements/r5/clamp.log, 32-config
+    # adam200 chunk, same relay instance) measured the clamp 0.92x — SLOWER
+    # than the padded batch (18.6 vs 17.1 s exec), with loss delta 0.0.  The
+    # padded rows were already masked dead compute XLA handles well; the
+    # clamp's reward is an extra executable shape per split, not time.
+    infer_batch_clamp: bool = False
     # Fused decoder-update Pallas kernel on the TRAIN fit
     # (mmtpu/kernels/decoder_update.py; requires a static opt_kind).
     # Default OFF pending the on-chip A/B (VERDICT r4 task 3) — enable via

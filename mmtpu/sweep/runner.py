@@ -358,7 +358,7 @@ def run_sweep(
     validation_curve: bool = False,
     lazy_adam: Optional[bool] = None,
     phase_timing: bool = False,
-    infer_batch_clamp: bool = True,
+    infer_batch_clamp: bool = False,
     fused_dec_update: bool = False,
     infer_warm_start: bool = False,
     infer_epochs_cap: int = 0,
@@ -411,8 +411,9 @@ def run_sweep(
             every phase twice (diagnostic cost ~one extra chunk per bucket).
         infer_batch_clamp: shrink single-batch inference fits' static batch
             to the split's row count (see SweepStatics.infer_batch_clamp);
-            default ON — float-reduction-order deltas only.  Pass False to
-            keep the reference's fixed batch_size*8.
+            float-reduction-order deltas only.  Default OFF since round 5:
+            the on-chip A/B measured the clamp 0.92x — slower than the
+            reference's padded batch (docs/measurements/r5/clamp.log).
         infer_warm_start: initialize valid/test inference fits from the
             trained decoder's closed-form latent estimate
             (mmtpu/train/warm_start.py) instead of the SIF embedding.
@@ -451,8 +452,8 @@ def run_sweep(
         statics = _dc.replace(statics, use_pallas=True)
     if lazy_adam is None or lazy_adam:
         statics = _dc.replace(statics, lazy_adam=True)
-    if not infer_batch_clamp:
-        statics = _dc.replace(statics, infer_batch_clamp=False)
+    if infer_batch_clamp:
+        statics = _dc.replace(statics, infer_batch_clamp=True)
     if fused_dec_update:
         # fused decoder-update kernel (train fit only) — needs the static
         # per-bucket optimizer kind the executor always uses

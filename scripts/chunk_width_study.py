@@ -35,6 +35,11 @@ def main() -> int:
                          "(bucket-homogeneous like production grid chunks)")
     ap.add_argument("--epochs_override", type=int, default=0,
                     help="override every config's n_epochs (0 = grid values)")
+    ap.add_argument("--no_pallas", action="store_true",
+                    help="force the XLA word-likelihood path — isolates "
+                         "whether a width-dependent failure (r5: widths "
+                         "48/64 crash the TPU worker) comes from the Mosaic "
+                         "kernel or the program at large")
     args = ap.parse_args()
     widths = [int(w) for w in args.widths.split(",")]
 
@@ -67,7 +72,8 @@ def main() -> int:
         t0 = time.time()
         try:
             res = run_sweep(cfgs, prep, batch_size=64, chunk_size=w,
-                            verbose=False)
+                            verbose=False,
+                            use_pallas=False if args.no_pallas else None)
             # run_sweep retries a failing width at w/2 internally — surface
             # that as the EFFECTIVE width so the table can't silently lie
             eff = max((cs["configs"] for cs in res.chunk_stats or []),

@@ -1,11 +1,17 @@
 """A/B the single-batch inference clamp on-chip (VERDICT r4 weak #3).
 
-``infer_batch_clamp`` (default ON since round 4) shrinks a SINGLE-BATCH
-inference fit's static batch to the next batch-size multiple >= the split's
-row count (MOSI valid: 229 rows at the reference's batch*8=512 → 256,
-halving that phase's padded compute).  The win was argued from FLOPs and
-numerics-tested on CPU, never measured on-chip — this measures it, both arms
-on the same relay instance (exec is instance-stable to ~3%, CLAUDE.md).
+``infer_batch_clamp`` shrinks a SINGLE-BATCH inference fit's static batch
+to the next batch-size multiple >= the split's row count (MOSI valid: 229
+rows at the reference's batch*8=512 → 256, halving that phase's padded
+compute).  The win was argued from FLOPs and numerics-tested on CPU; this
+measures it on-chip, both arms on the same relay instance (exec is
+instance-stable to ~3%, CLAUDE.md).
+
+MEASURED 2026-08-18 (docs/measurements/r5/clamp.log, 32-config adam200):
+clamp ON 18.57 s vs OFF 17.13 s steady-state exec — the clamp is 0.92x
+(SLOWER), loss delta 0.0.  The padded rows were masked dead compute XLA
+already handled; the clamp only added an executable shape.  Default flipped
+OFF in round 5 (SweepStatics.infer_batch_clamp).
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python -u scripts/diag_infer_clamp.py
        [--configs 32] [--chunk 32] [--bucket adam200] [--repeat 2]

@@ -616,14 +616,15 @@ class TestReturnEmbeddings:
 class TestInferBatchClamp:
     def test_clamp_matches_reference_batching(self):
         """The single-batch inference clamp (SweepStatics.infer_batch_clamp,
-        default on) must reproduce the reference's fixed batch_size*8
-        inference fits: same row grouping, so train losses are identical and
-        metrics differ only by float reduction order."""
+        opt-in since the round-5 on-chip A/B measured it 0.92x) must
+        reproduce the reference's fixed batch_size*8 inference fits: same
+        row grouping, so train losses are identical and metrics differ only
+        by float reduction order."""
         prep = _tiny_prep()  # valid 8 / test 10 rows; batch 8 → full 64
         cfgs = _grid4()
-        on = run_sweep(cfgs, prep, batch_size=8, verbose=False)
-        off = run_sweep(cfgs, prep, batch_size=8, verbose=False,
-                        infer_batch_clamp=False)
+        on = run_sweep(cfgs, prep, batch_size=8, verbose=False,
+                       infer_batch_clamp=True)
+        off = run_sweep(cfgs, prep, batch_size=8, verbose=False)
         # train phase is untouched by the clamp
         np.testing.assert_array_equal(on.final_train_loss,
                                       off.final_train_loss)
